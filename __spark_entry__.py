@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query: one full crawl round of the URL-frontier
+engine over the synthetic Common-Crawl-style ``pages`` corpus derived from
+``/root/testdata/sf0.001`` (canonicalize -> dedup -> URL-seen anti-join ->
+robots -> politeness budget -> fetch -> extract), returning the scheduled-URL
+DataFrame.
+
+``queries()`` / ``oracle_sql()`` — operator pack per SURVEY.md §2, checked
+against DuckDB at sf0.01 by the driver.
 """
 
 from __future__ import annotations
@@ -13,26 +16,45 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+N_HOSTS = 50
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 2 crawl rounds on sf0.001; returns the schedule."""
+    from logcrawler_spark.plans.frontier import run_crawl
+    from logcrawler_spark.sources.pages import (
+        generate_pages,
+        generate_robots_rules,
+        generate_seeds,
+    )
+
+    pages = generate_pages(spark, SMOKE_SF_DIR, n_hosts=N_HOSTS)
+    seeds = generate_seeds(spark, SMOKE_SF_DIR, n_hosts=N_HOSTS)
+    robots = generate_robots_rules(spark, n_hosts=N_HOSTS)
+    state = run_crawl(
+        spark, pages, seeds, robots, rounds=2, budget=5, use_bloom=True
+    )
+    return state.schedule.select(
+        "round",
+        "host",
+        "canonical_url",
+        "priority",
+        "host_rank",
+        "slot_ms",
+    ).orderBy("round", "host", "canonical_url")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 (plus the
+    training-data ops). Filled by logcrawler_spark.queries."""
+    from logcrawler_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent ANSI SQL per query key (same column names)."""
+    from logcrawler_spark.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,105 @@
+"""Text-analysis function pack (training-data-pipeline ops).
+
+All pure Column expressions — language ID, quality scoring, token counting,
+and document fingerprinting run JVM-side over the ``documents`` table with
+no Python in the loop, so they compose with scans/filters under
+WholeStageCodegen and survive a 100x scale-up unchanged.
+
+Reference analog for the scalar style: the C1-C13 scalar pack
+(SURVEY.md §2.8) — split/lower/contains/regexp pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword inventories per language (top function words).
+# A production system swaps in real n-gram models; the *plan shape* — a
+# score per language from token-set intersections, argmax — is the same.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "it", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "pour"],
+    "es": ["el", "la", "de", "los", "es", "un", "para", "por"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (lowercased words, empties dropped)."""
+    return F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda x: x != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish subword proxy: word pieces + punctuation as separate tokens
+    (regex split on word/punct boundaries) — the cheap length estimator a
+    training pipeline uses before exact tokenization."""
+    pieces = F.filter(
+        F.split(text, r"(?<=\W)|(?=\W)"), lambda x: F.trim(x) != ""
+    )
+    return F.size(pieces)
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = tokens(text)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, n_sw / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def lang_score(text: Column, lang: str) -> Column:
+    """Per-language score = fraction of tokens that are that language's
+    stopwords (n-gram-heuristic language ID, SQL-expressible)."""
+    return stopword_ratio(text, lang)
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over language scores; ties -> lexicographically first lang;
+    all-zero -> 'und' (undetermined)."""
+    scored = F.array(
+        *[
+            F.struct(
+                (-lang_score(text, lang)).alias("negscore"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in sorted(STOPWORDS)
+        ]
+    )
+    # array_sort over structs orders by fields left-to-right, so sorting by
+    # (-score, lang) and taking element 1 = highest score, ties -> first lang
+    best = F.element_at(F.array_sort(scored), 1)
+    return F.when(best["negscore"] >= 0.0, F.lit("und")).otherwise(best["lang"])
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()-]", ""))
+    return F.when(
+        F.length(text) > 0, n_punct / F.length(text)
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column, lang: str = "en") -> Column:
+    """Composite quality in [0,1]: length band + stopword presence - punct
+    excess. Deterministic closed-form; production swaps weights, plan
+    unchanged."""
+    n_tok = token_count(text)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.5)).otherwise(
+        F.lit(0.0)
+    )
+    sw = F.least(stopword_ratio(text, lang) * 2.0, F.lit(0.4))
+    punct_penalty = F.least(punct_ratio(text) * 2.0, F.lit(0.3))
+    return F.round(
+        F.greatest(len_ok + sw - punct_penalty, F.lit(0.0)), 6
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalized-document fingerprint: md5 of lowercased,
+    whitespace-collapsed text (rolling-hash analog; md5 chosen for
+    cross-engine oracle reproducibility)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(norm)

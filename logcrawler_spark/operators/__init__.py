@@ -1,0 +1,1 @@
+"""Reference-semantics operators (SURVEY.md §2) as DataFrame transforms."""

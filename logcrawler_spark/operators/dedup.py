@@ -1,0 +1,326 @@
+"""Deduplication operators — exact, last-writer-wins, MinHash-LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+Reference analogs: last-writer-wins frame collapse (``src/lib.rs:97``,
+``src/frame.rs:20`` — SURVEY.md §2.7 U4), reconciliation anti-joins
+(``07_input_cognition_data_rust.py:45-83`` J9), distinct-set aggregation
+(``src/lib.rs:43-59`` A1). The fuzzy family (MinHash/SimHash/Jaccard) is the
+training-data-pipeline extension: near-duplicate detection over a
+``documents(doc_id, text, ...)`` corpus.
+
+Scale notes
+-----------
+- Exact dedup is a hash aggregation on a fingerprint column — one shuffle on
+  the fingerprint, map-side partial aggregation free from Catalyst.
+- MinHash-LSH: shingle -> K minhashes -> B bands; candidate pairs come from a
+  self-join on (band_id, band_hash) — an equi-join, so it shuffles on the
+  band key instead of comparing all pairs (O(n^2) -> O(n·dups)). Band-hash
+  hot buckets (boilerplate text) are the skew risk: AQE skew-join handles
+  moderate cases; degenerate buckets should be capped upstream.
+- All hashing uses ``md5`` (bit-identical across engines/platforms) so the
+  DuckDB oracles can reproduce signatures exactly; at production scale md5
+  would be swapped for ``xxhash64`` (cheaper, same plan shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact text fingerprint (md5)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def last_writer_wins(
+    df: DataFrame, key_cols: list[str], order_col: str, tiebreak_col: str
+) -> DataFrame:
+    """Collapse duplicate keys keeping the greatest ``order_col``
+    (tie -> greatest ``tiebreak_col``) — ``src/lib.rs:97`` semantics."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(order_col).desc(), F.col(tiebreak_col).desc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct, sorted for determinism)."""
+    words = F.split(F.trim(text), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
+    )
+    return F.array_sort(F.array_distinct(grams))
+
+
+def minhash_signature(text: Column, k: int = 16, n: int = 3) -> Column:
+    """K-perm MinHash signature: element j = min(md5(j || '|' || shingle)).
+
+    String-min over md5 hex digests is a valid uniform minhash (md5 is a
+    fixed-width hex string, so lexicographic min == numeric min) and is
+    reproducible bit-for-bit in DuckDB SQL.
+    """
+    sh = shingles(text, n)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    sh, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}|"), s))
+                )
+            )
+            for j in range(k)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) via banded MinHash-LSH.
+
+    Plan shape: project signature -> explode B band hashes -> self-equi-join
+    on (band, band_hash) -> distinct pairs. No O(n^2) comparison.
+    """
+    rows_per_band = k // bands
+    sig = minhash_signature(F.col(text_col), k, n)
+    banded = df.select(
+        F.col(id_col).alias("id"), sig.alias("sig")
+    ).select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.array_join(
+                                F.slice(
+                                    F.col("sig"),
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                "|",
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("id", "bh.band", "bh.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    lsh_k: int = 16,
+    lsh_bands: int = 4,
+) -> DataFrame:
+    """Exact n-gram Jaccard over LSH candidate pairs.
+
+    jaccard = |A ∩ B| / |A ∪ B| on distinct word n-grams; candidates come
+    from :func:`minhash_lsh_pairs` so only near-pairs pay the set compare.
+    """
+    cand = minhash_lsh_pairs(df, text_col, id_col, lsh_k, lsh_bands, n)
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    )
+    return (
+        cand.join(sh.withColumnRenamed("sh", "sh_a"), cand.id_a == sh.id)
+        .drop("id")
+        .join(
+            sh.withColumnRenamed("sh", "sh_b").alias("s2"),
+            F.col("id_b") == F.col("s2.id"),
+        )
+        .drop("id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(n: int = 3):
+    """64-bit SimHash kernel over word n-gram shingles (pandas UDF).
+
+    Each distinct shingle contributes ±1 per bit of its md5-derived 64-bit
+    value; the sign of the per-bit sum is the fingerprint (returned as a
+    signed int64). Vectorized with numpy over the shingle-hash matrix —
+    one Python call per Arrow batch, not per row. Deterministic on every
+    platform (hashlib.md5, no locale/float variance).
+
+    A 64-wide expression tree was rejected: Catalyst analysis cost scales
+    with expression size, and this kernel is exactly the X1-style vectorized
+    UDF the north rule prescribes (``06_extract_images.py:207-229`` analog).
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            words = t.split()
+            grams = {
+                " ".join(words[j : j + n])
+                for j in range(max(len(words) - n + 1, 1))
+            }
+            hs = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5(g.encode()).digest()[:8], "big"
+                    )
+                    for g in grams
+                ),
+                dtype=np.uint64,
+                count=len(grams),
+            )
+            # bit matrix (n_grams x 64) -> ±1 column sums -> sign bits
+            bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1
+            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            fp = np.uint64(0)
+            for b in range(64):
+                if votes[b] > 0:
+                    fp |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(fp)
+        return pd.Series(out)
+
+    return F.pandas_udf(_simhash, T.LongType())
+
+
+def simhash_dup_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8, n: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Candidate generation blocks on 16-bit sub-bands (pigeonhole: any pair
+    within Hamming distance 3 shares at least one of 4 exact 16-bit bands;
+    wider distances use it as a recall-oriented blocker). Equi-join on the
+    band value — same no-O(n^2) shape as MinHash-LSH.
+    """
+    sh = simhash64(n)(F.col(text_col)).alias("simhash")
+    base = df.select(F.col(id_col).alias("id"), sh)
+    banded = base.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select("id", "simhash", "bv.band", "bv.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_cosine_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    bucket_positions: tuple[int, ...] = (0, 1, 2, 3),
+) -> DataFrame:
+    """Embedding near-dup pairs: sign-LSH bucket join + exact cosine.
+
+    Bucket = sign pattern of the embedding at fixed positions (axis-aligned
+    hyperplane LSH — exact and engine-independent since ``sign(float)`` has
+    no rounding). Pairs sharing a bucket get the exact cosine test. A true
+    random-hyperplane LSH at scale would use multiple tables; the plan shape
+    (equi-join on bucket key) is identical.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bucket = F.concat(
+        *[
+            F.when(F.element_at(v, p + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for p in bucket_positions
+        ]
+    )
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    e = df.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        bucket.alias("bucket"),
+        norm.alias("norm"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn("cosine", dot / (F.col("a.norm") * F.col("b.norm")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

@@ -1,0 +1,308 @@
+"""The crawl-round pipeline — the engine's flagship plan.
+
+One round (SURVEY.md §7.2, reference lifecycle §3.3 re-targeted):
+
+    candidates --canonicalize (SURT + xxhash64)--> keyed candidates
+      --within-batch last-writer-wins dedup (U4)-->
+      --URL-seen anti-join, Bloom-prefiltered (J9 + Bloom layer)-->
+      --robots broadcast join, longest-prefix-wins (J8/F2)-->
+      --per-host politeness budget rank (W5/T4) + fetch slots-->  SCHEDULED
+      --fetch = equi-join against pages on canonical URL (J2)-->
+      --vectorized text extraction + link explode (X1/X6)-->      PARSED
+      --outlinks -> next round's candidates; scheduled -> url_seen-->
+
+Determinism (SURVEY.md §7.4.1): the crawl order is DEFINED as the sort key
+``(round, host, -priority, canonical_url)`` — never partition arrival
+order — so the schedule is reproducible under any parallelism, and the
+pure-Python oracle simulator (tests/oracle_frontier.py) must match it
+exactly.
+
+Scale shape per round: one shuffle for the dedup window (keyed by
+canonical_url), one anti-join on url_hash (co-bucketed + Bloom-prefiltered),
+a broadcast join for robots (rule table ~hosts, small), one window shuffle
+on host for the budget rank (mega-host skew bounded by the two-phase salted
+rank in ``operators.politeness``), and one equi-join to "fetch" (at real
+scale: the fetcher cluster; here the synthetic pages table).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from logcrawler_spark.catalog import Catalog
+from logcrawler_spark.extraction import extract_outlinks, extract_text
+from logcrawler_spark.functions.urls import (
+    canonicalize_url,
+    url_hash,
+    url_host,
+    url_path,
+)
+from logcrawler_spark.plans.bloom import build_bloom_table, filter_not_seen
+
+PRIORITY_DECAY = 0.5  # child priority = parent * decay (exact in binary fp)
+
+
+def canonicalize_candidates(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Attach canonical_url / host / path / url_hash key columns."""
+    u = F.col(url_col)
+    return df.select(
+        canonicalize_url(u).alias("canonical_url"),
+        url_host(u).alias("host"),
+        url_path(u).alias("path"),
+        url_hash(u).alias("url_hash"),
+        F.col("priority"),
+    )
+
+
+def dedup_batch(cand: DataFrame) -> DataFrame:
+    """Within-batch last-writer-wins: keep max priority per canonical URL
+    (``src/lib.rs:97`` semantics; deterministic tie-break on the URL)."""
+    w = Window.partitionBy("canonical_url").orderBy(
+        F.col("priority").desc(), F.col("host")
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def apply_robots(cand: DataFrame, robots: DataFrame) -> DataFrame:
+    """Longest-prefix-wins robots filter (broadcast join on host).
+
+    A candidate is allowed iff no rule matches its path, or the longest
+    matching prefix rule has allow=true. Also attaches the host's
+    crawl_delay_ms (max over rules, null if none).
+    """
+    r = robots.select(
+        "host", "path_prefix", "allow", F.col("crawl_delay_ms").alias("__delay")
+    )
+    j = cand.join(F.broadcast(r), on="host", how="left")
+    match = F.col("path_prefix").isNotNull() & F.col("path").startswith(
+        F.col("path_prefix")
+    )
+    scored = j.withColumn(
+        "__mlen", F.when(match, F.length("path_prefix")).otherwise(F.lit(-1))
+    )
+    w = Window.partitionBy("canonical_url").orderBy(F.col("__mlen").desc())
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .withColumn(
+            "allowed",
+            F.when(F.col("__mlen") < 0, F.lit(True)).otherwise(F.col("allow")),
+        )
+    )
+    delays = robots.groupBy("host").agg(
+        F.max("crawl_delay_ms").alias("crawl_delay_ms")
+    )
+    return (
+        best.filter(F.col("allowed"))
+        .select("canonical_url", "host", "path", "url_hash", "priority")
+        .join(F.broadcast(delays), on="host", how="left")
+    )
+
+
+def politeness_rank(cand: DataFrame, budget: int, n_salts: int = 16) -> DataFrame:
+    """Per-host top-``budget`` by (priority desc, canonical_url asc), with a
+    salted pre-rank so no task materializes a mega-host's full candidate set
+    (two-phase rank, SURVEY.md §7.4.4). Assigns politeness fetch slots:
+    slot_ms = (rank-1) * crawl_delay."""
+    order = [F.col("priority").desc(), F.col("canonical_url")]
+    salt = F.pmod(F.xxhash64("canonical_url"), F.lit(n_salts))
+    w_salt = Window.partitionBy("host", salt).orderBy(*order)
+    pre = cand.withColumn("__prn", F.row_number().over(w_salt)).filter(
+        F.col("__prn") <= budget
+    )
+    w_host = Window.partitionBy("host").orderBy(*order)
+    return (
+        pre.withColumn("host_rank", F.row_number().over(w_host))
+        .filter(F.col("host_rank") <= budget)
+        .withColumn(
+            "slot_ms",
+            (F.col("host_rank") - 1).cast("long")
+            * F.coalesce(F.col("crawl_delay_ms"), F.lit(200)),
+        )
+        .drop("__prn")
+    )
+
+
+@dataclass
+class CrawlState:
+    """Round-over-round state; every df is materialized (lineage cut)."""
+
+    url_seen: DataFrame
+    candidates: DataFrame
+    schedule: DataFrame | None = None
+    metrics: DataFrame | None = None
+    round_no: int = 0
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Cut lineage between rounds (localCheckpoint ~ catalog snapshot)."""
+    return df.localCheckpoint(eager=True)
+
+
+def crawl_round(
+    state: CrawlState,
+    pages_c: DataFrame,
+    robots: DataFrame,
+    budget: int,
+    use_bloom: bool = True,
+    bloom_buckets: int = 32,
+) -> CrawlState:
+    """Advance one round. ``pages_c`` = pages with canonical_url attached."""
+    rnd = state.round_no + 1
+    cand = dedup_batch(canonicalize_candidates(state.candidates))
+    n_cand = cand.count()
+
+    blooms = None
+    if use_bloom and state.url_seen.limit(1).count() > 0:
+        blooms = build_bloom_table(state.url_seen, n_buckets=bloom_buckets)
+    unseen = filter_not_seen(
+        cand,
+        state.url_seen,
+        blooms,
+        hash_col="url_hash",
+        key_cols=["url_hash", "canonical_url"],
+        n_buckets=bloom_buckets,
+    )
+    allowed = apply_robots(unseen, robots)
+    sched = _materialize(
+        politeness_rank(allowed, budget).withColumn("round", F.lit(rnd))
+    )
+
+    fetched = sched.join(pages_c, on="canonical_url", how="inner")
+    parsed = _materialize(
+        fetched.select(
+            "canonical_url",
+            "host",
+            "priority",
+            "round",
+            extract_text(F.col("html")).alias("extracted_text"),
+            F.col("html"),
+        )
+    )
+    outlinks = extract_outlinks(
+        fetched.select(F.col("canonical_url").alias("url"), "html"), "url"
+    )
+    next_cand = _materialize(
+        outlinks.join(
+            sched.select(
+                F.col("canonical_url").alias("src_url"),
+                F.col("priority").alias("__parent_priority"),
+            ),
+            on="src_url",
+        ).select(
+            F.col("out_url").alias("url"),
+            (F.col("__parent_priority") * PRIORITY_DECAY).alias("priority"),
+        )
+    )
+
+    new_seen = _materialize(
+        state.url_seen.unionByName(
+            sched.select("url_hash", "canonical_url", F.lit(rnd).alias("first_seen_round"))
+        )
+    )
+    n_sched = sched.count()
+    n_fetched = parsed.count()
+    round_metrics = (
+        sched.groupBy("round", "host")
+        .agg(
+            F.count("*").alias("urls_scheduled"),
+            F.max("host_rank").alias("max_host_rank"),
+        )
+        .withColumn("urls_candidates_total", F.lit(n_cand))
+        .withColumn("pages_fetched_total", F.lit(n_fetched))
+    )
+    metrics = (
+        round_metrics
+        if state.metrics is None
+        else state.metrics.unionByName(round_metrics)
+    )
+    schedule = (
+        sched
+        if state.schedule is None
+        else state.schedule.unionByName(sched)
+    )
+    return CrawlState(
+        url_seen=new_seen,
+        candidates=next_cand,
+        schedule=_materialize(schedule),
+        metrics=_materialize(metrics),
+        round_no=rnd,
+    )
+
+
+def run_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    seeds: DataFrame,
+    robots: DataFrame,
+    rounds: int = 2,
+    budget: int = 8,
+    use_bloom: bool = True,
+    catalog: Catalog | None = None,
+) -> CrawlState:
+    """Run ``rounds`` crawl rounds from the seed list.
+
+    With a ``catalog``, url_seen / schedule / metrics are committed per
+    round (snapshot isolation) — the resume path (`resume_crawl`) restarts
+    from the last committed round. Reference analog: ``.images_extracted``
+    markers + log_status reconciliation (``06:45-105``, SURVEY.md §2.9 T1).
+    """
+    pages_c = pages.withColumn("canonical_url", canonicalize_url(F.col("url")))
+    empty_seen = spark.createDataFrame(
+        [], "url_hash long, canonical_url string, first_seen_round int"
+    )
+    state = CrawlState(url_seen=empty_seen, candidates=seeds)
+    for _ in range(rounds):
+        state = crawl_round(state, pages_c, robots, budget, use_bloom)
+        if catalog is not None:
+            catalog.overwrite("url_seen", state.url_seen, 8, "url_hash")
+            catalog.overwrite("schedule", state.schedule)
+            catalog.overwrite("metrics", state.metrics)
+            catalog.overwrite(
+                "pending_candidates", state.candidates
+            )
+            catalog.overwrite(
+                "round_marker",
+                spark.createDataFrame([(state.round_no,)], "round int"),
+            )
+    return state
+
+
+def resume_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    robots: DataFrame,
+    catalog: Catalog,
+    total_rounds: int,
+    budget: int = 8,
+    use_bloom: bool = True,
+) -> CrawlState:
+    """Resume from the catalog's last committed round and finish the crawl."""
+    done = catalog.read("round_marker").collect()[0]["round"]
+    pages_c = pages.withColumn("canonical_url", canonicalize_url(F.col("url")))
+    state = CrawlState(
+        url_seen=catalog.read("url_seen"),
+        candidates=catalog.read("pending_candidates"),
+        schedule=catalog.read("schedule"),
+        metrics=catalog.read("metrics"),
+        round_no=done,
+    )
+    for _ in range(total_rounds - done):
+        state = crawl_round(state, pages_c, robots, budget, use_bloom)
+        catalog.overwrite("url_seen", state.url_seen, 8, "url_hash")
+        catalog.overwrite("schedule", state.schedule)
+        catalog.overwrite("metrics", state.metrics)
+        catalog.overwrite("pending_candidates", state.candidates)
+        catalog.overwrite(
+            "round_marker",
+            spark.createDataFrame([(state.round_no,)], "round int"),
+        )
+    return state

@@ -1,0 +1,58 @@
+"""SparkSession factory.
+
+Single place where every entry point (tests, bench, driver contract) builds
+its session, so scale-relevant configs are uniform:
+
+- AQE on (runtime coalescing + skew-join splitting — SURVEY.md §4 R12),
+- Arrow on with bounded batch size (the reference tuned its REST batch sizes
+  per table, ``07_input_cognition_data_rust.py:99,146``; here one knob:
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` — SURVEY.md §4 R4),
+- UTC session timezone (oracle comparison against DuckDB),
+- shuffle partitions sized to cores for local mode; on a real cluster this
+  is set to ~2-3x total cores by the submitter, and AQE coalesces down.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    cores: int | str | None = None,
+    app_name: str = "logcrawler_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``cores``: int N -> ``local[N]``; None -> ``$SPARK_GRAFT_CPUS`` or ``*``.
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = f"local[{cores}]"
+    if shuffle_partitions is None:
+        n = os.cpu_count() or 8
+        shuffle_partitions = int(cores) if str(cores).isdigit() else n
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

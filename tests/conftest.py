@@ -1,0 +1,20 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from logcrawler_spark.session import get_spark
+
+    s = get_spark(
+        os.environ.get("SPARK_GRAFT_CPUS", "8"),
+        "logcrawler-tests",
+        shuffle_partitions=8,
+    )
+    yield s

@@ -1,0 +1,161 @@
+"""Single-process pure-Python crawl-frontier simulator — the oracle.
+
+Dual-implementation oracle in the reference's style: a naive, obviously-
+correct re-implementation kept beside the distributed one
+(``/root/reference/14_calculate_closest_frames.py:7-34`` keeps an O(n^2)
+checker beside its bisect algorithm). The Spark pipeline in
+``logcrawler_spark.plans.frontier`` must match this simulator's crawl
+ordering, URL-seen membership set, and politeness slots EXACTLY.
+
+No Spark imports here — plain dict/list/regex Python over pandas inputs.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+PRIORITY_DECAY = 0.5
+DEFAULT_DELAY_MS = 200
+
+_SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://")
+_P_RE = re.compile(r"<p>(.*?)</p>", re.S)
+_A_RE = re.compile(r'<a\s+href="([^"]*)"')
+
+
+def canonicalize(url: str) -> str:
+    m = _SCHEME_RE.match(url)
+    scheme = m.group(1).lower() if m else "http"
+    rest = _SCHEME_RE.sub("", url)
+    auth = re.match(r"^([^/?#]*)", rest).group(1)
+    hostport = re.sub(r"^[^@/]*@", "", auth)
+    host = re.match(r"^([^:]*)", hostport).group(1).lower().rstrip(".")
+    pm = re.search(r":(\d+)$", hostport)
+    port = pm.group(1) if pm else ""
+    if (scheme == "http" and port == "80") or (scheme == "https" and port == "443"):
+        port = ""
+    pqf = re.sub(r"^[^/?#]*", "", rest)
+    path = re.match(r"^([^?#]*)", pqf).group(1)
+    path = re.sub(r"//+", "/", path) or "/"
+    qm = re.search(r"\?([^#]*)", pqf)
+    q = "&".join(sorted(p for p in (qm.group(1).split("&") if qm else []) if p))
+    return (
+        scheme
+        + "://"
+        + host
+        + (f":{port}" if port else "")
+        + path
+        + (f"?{q}" if q else "")
+    )
+
+
+def host_of(canonical: str) -> str:
+    rest = _SCHEME_RE.sub("", canonical)
+    auth = re.match(r"^([^/?#]*)", rest).group(1)
+    return re.match(r"^([^:]*)", auth).group(1)
+
+
+def path_of(canonical: str) -> str:
+    rest = _SCHEME_RE.sub("", canonical)
+    pqf = re.sub(r"^[^/?#]*", "", rest)
+    return re.match(r"^([^?#]*)", pqf).group(1) or "/"
+
+
+def resolve_link(base_canonical: str, href: str) -> str:
+    m = _SCHEME_RE.match(base_canonical)
+    scheme = m.group(1).lower() if m else "http"
+    host = host_of(base_canonical)
+    if _SCHEME_RE.match(href):
+        return href
+    if href.startswith("//"):
+        return f"{scheme}:{href}"
+    if href.startswith("/"):
+        return f"{scheme}://{host}{href}"
+    base_dir = re.sub(r"[^/]*$", "", path_of(base_canonical))
+    return f"{scheme}://{host}{base_dir}{href}"
+
+
+def extract_text(html: bytes) -> str:
+    return " ".join(_P_RE.findall(html.decode("utf-8", "replace")))
+
+
+def extract_links(html: bytes) -> list[str]:
+    return _A_RE.findall(html.decode("utf-8", "replace"))
+
+
+@dataclass
+class SimResult:
+    # ordered by the defined crawl order (round, host, -priority, canonical)
+    schedule: list[tuple] = field(default_factory=list)
+    url_seen: set[str] = field(default_factory=set)
+    extracted: dict[str, str] = field(default_factory=dict)
+
+
+def simulate_crawl(
+    pages_pdf,
+    seeds_pdf,
+    robots_pdf,
+    rounds: int = 2,
+    budget: int = 8,
+) -> SimResult:
+    """pages/seeds/robots as pandas DataFrames (column names per FIXTURES.md)."""
+    page_by_canon = {}
+    for r in pages_pdf.itertuples():
+        page_by_canon[canonicalize(r.url)] = bytes(r.html)
+
+    rules = {}
+    delays = {}
+    for r in robots_pdf.itertuples():
+        rules.setdefault(r.host, []).append((r.path_prefix, bool(r.allow)))
+        delays[r.host] = max(delays.get(r.host, 0), int(r.crawl_delay_ms))
+
+    def allowed(host: str, path: str) -> bool:
+        best = None
+        for prefix, allow in rules.get(host, []):
+            if path.startswith(prefix):
+                if best is None or len(prefix) > len(best[0]):
+                    best = (prefix, allow)
+        return True if best is None else best[1]
+
+    res = SimResult()
+    candidates = [(r.url, float(r.priority)) for r in seeds_pdf.itertuples()]
+
+    for rnd in range(1, rounds + 1):
+        # 1. canonicalize + within-batch last-writer-wins (max priority)
+        best_prio: dict[str, float] = {}
+        for url, prio in candidates:
+            c = canonicalize(url)
+            if c not in best_prio or prio > best_prio[c]:
+                best_prio[c] = prio
+        # 2. URL-seen anti-join
+        unseen = {c: p for c, p in best_prio.items() if c not in res.url_seen}
+        # 3. robots
+        ok = {
+            c: p for c, p in unseen.items() if allowed(host_of(c), path_of(c))
+        }
+        # 4. per-host politeness budget: (-priority, canonical) order
+        by_host: dict[str, list[tuple[float, str]]] = {}
+        for c, p in ok.items():
+            by_host.setdefault(host_of(c), []).append((p, c))
+        scheduled = []
+        for host, items in by_host.items():
+            items.sort(key=lambda t: (-t[0], t[1]))
+            delay = delays.get(host, DEFAULT_DELAY_MS)
+            for rank, (p, c) in enumerate(items[:budget], start=1):
+                scheduled.append(
+                    (rnd, host, p, c, rank, (rank - 1) * delay)
+                )
+        # defined total crawl order
+        scheduled.sort(key=lambda t: (t[0], t[1], -t[2], t[3]))
+        res.schedule.extend(scheduled)
+        # 5. mark seen; 6. fetch + extract + expand
+        candidates = []
+        for rnd_, host, p, c, rank, slot in scheduled:
+            res.url_seen.add(c)
+            html = page_by_canon.get(c)
+            if html is None:
+                continue  # 404 analog
+            res.extracted[c] = extract_text(html)
+            for href in extract_links(html):
+                candidates.append((resolve_link(c, href), p * PRIORITY_DECAY))
+    return res
