@@ -35,13 +35,12 @@ def token_count(text: Column) -> Column:
 
 
 def bpe_ish_token_count(text: Column) -> Column:
-    """BPE-ish subword proxy: word pieces + punctuation as separate tokens
-    (regex split on word/punct boundaries) — the cheap length estimator a
-    training pipeline uses before exact tokenization."""
-    pieces = F.filter(
-        F.split(text, r"(?<=\W)|(?=\W)"), lambda x: F.trim(x) != ""
-    )
-    return F.size(pieces)
+    """BPE-ish subword proxy: word runs + each punctuation char as separate
+    tokens — the cheap length estimator a training pipeline uses before
+    exact tokenization. RE2-compatible pattern (no lookaround) so DuckDB
+    oracles can reproduce it."""
+    # idx=0 -> whole-match group (the pattern has no capture groups)
+    return F.size(F.regexp_extract_all(text, F.lit(r"\w+|[^\w\s]"), 0))
 
 
 def stopword_ratio(text: Column, lang: str = "en") -> Column:

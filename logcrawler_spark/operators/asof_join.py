@@ -40,8 +40,14 @@ def asof_nearest_join(
     'backward' (last right at-or-before), 'forward' (first right at-or-after).
     Left columns are preserved.
     """
+    def _as_num(df: DataFrame, col: str) -> F.Column:
+        # timestamps (incl. NTZ) -> epoch micros; numerics -> double
+        if df.schema[col].dataType.typeName().startswith("timestamp"):
+            return F.unix_micros(F.col(col).cast("timestamp")).cast("double")
+        return F.col(col).cast("double")
+
     lt = left.withColumn("__side", F.lit(1)).withColumn(
-        "__t", F.col(left_ts).cast("double")
+        "__t", _as_num(left, left_ts)
     )
     rt = (
         right.select(
@@ -50,7 +56,7 @@ def asof_nearest_join(
             F.col(right_id).alias("__rid"),
         )
         .withColumn("__side", F.lit(0))
-        .withColumn("__t", F.col("__rts").cast("double"))
+        .withColumn("__t", _as_num(right.select(F.col(right_ts).alias("__rts")), "__rts"))
     )
     for c in lt.columns:
         if c not in rt.columns:

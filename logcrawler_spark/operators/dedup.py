@@ -72,15 +72,15 @@ def minhash_signature(text: Column, k: int = 16, n: int = 3) -> Column:
     reproducible bit-for-bit in DuckDB SQL.
     """
     sh = shingles(text, n)
+
+    def _hash_with_prefix(j: int):
+        # single-arg lambda REQUIRED: F.transform treats a two-parameter
+        # function as (element, index) and would rebind a default arg
+        prefix = f"{j}|"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
     return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    sh, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}|"), s))
-                )
-            )
-            for j in range(k)
-        ]
+        *[F.array_min(F.transform(sh, _hash_with_prefix(j))) for j in range(k)]
     )
 
 
@@ -193,7 +193,9 @@ def simhash64(n: int = 3):
     import pandas as pd
     from pyspark.sql import types as T
 
-    def _simhash(texts: pd.Series) -> pd.Series:
+    # note: no type hints — pandas is imported locally, so string annotations
+    # would not resolve when pandas_udf infers the eval type
+    def _simhash(texts):
         out = np.zeros(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
             if t is None:

@@ -35,3 +35,4 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Registration happens on import of the submodules below (kept at the
 # bottom so `register` exists first).
 from logcrawler_spark import queries_core  # noqa: E402,F401
+from logcrawler_spark import queries_ext  # noqa: E402,F401

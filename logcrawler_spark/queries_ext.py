@@ -1,0 +1,593 @@
+"""Extended operator pack: as-of join, theta/overlap joins, politeness
+windows, dedup family, similarity search, text analysis, multimodal
+plumbing, SURT canonicalization, and the crawl round itself.
+
+Float discipline for oracle parity: every accumulation is either exact
+integer arithmetic or a left fold identical to DuckDB's
+``list_reduce(list_prepend(0.0, ...))`` (bit-identical IEEE ops in both
+engines), so even double outputs hash-match without tolerance.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from logcrawler_spark.queries import _t, register
+
+# ------------------------------------------------------------- as-of join
+@register(
+    "q_asof_nearest",
+    """
+    WITH l AS (SELECT event_id, user_id, ts FROM events
+               WHERE user_id < 30 AND event_type = 'click'),
+         r AS (SELECT event_id, user_id, ts FROM events
+               WHERE user_id < 30 AND event_type = 'purchase')
+    SELECT l.event_id,
+           (SELECT r.event_id FROM r
+            WHERE r.user_id = l.user_id
+            ORDER BY abs(epoch_us(r.ts) - epoch_us(l.ts)), r.event_id
+            LIMIT 1) AS closest_id
+    FROM l
+    """,
+)
+def q_asof_nearest(spark, sf_dir):
+    """J3: nearest-neighbor time join, both-direction window formulation vs
+    the oracle's naive per-row scan (14_calculate_closest_frames.py:38-83
+    vs :7-34). Tie at equal |dt| -> smaller right id (:70)."""
+    from logcrawler_spark.operators.asof_join import asof_nearest_join
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    left = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    right = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_nearest_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        right_id="event_id",
+    ).select("event_id", "closest_id")
+
+
+# ------------------------------------------------------ theta/overlap joins
+@register(
+    "q_interval_overlap",
+    """
+    WITH a AS (SELECT event_id AS id_a, value AS lo_a, value + 15 AS hi_a
+               FROM events WHERE user_id < 4),
+         b AS (SELECT event_id AS id_b, value AS lo_b, value + 15 AS hi_b
+               FROM events WHERE user_id < 4)
+    SELECT id_a, id_b FROM a JOIN b
+      ON id_a < id_b AND lo_a <= hi_b AND lo_b <= hi_a
+    """,
+)
+def q_interval_overlap(spark, sf_dir):
+    """J6: all-pairs interval overlap via banded equi-join — the O(n^2)
+    bbox task generator (check_bbox_overlap_tasks.py:68-87) without the
+    O(n^2)."""
+    from logcrawler_spark.operators.theta_join import interval_overlap_join
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 4)
+    a = e.select(
+        F.col("event_id").alias("id_a"),
+        F.col("value").alias("lo_a"),
+        (F.col("value") + 15).alias("hi_a"),
+    )
+    b = e.select(
+        F.col("event_id").alias("id_b"),
+        F.col("value").alias("lo_b"),
+        (F.col("value") + 15).alias("hi_b"),
+    )
+    return interval_overlap_join(
+        a, b, "lo_a", "hi_a", "lo_b", "hi_b", band_width=16,
+        extra_pred=F.col("l.id_a") < F.col("r.id_b"),
+    ).select("id_a", "id_b")
+
+
+@register(
+    "q_argmax_overlap",
+    """
+    WITH a AS (SELECT event_id AS id_a, value AS lo_a, value + 15 AS hi_a
+               FROM events WHERE user_id < 2),
+         b AS (SELECT event_id AS id_b, value AS lo_b, value + 15 AS hi_b
+               FROM events WHERE user_id >= 2 AND user_id < 4),
+         pairs AS (
+           SELECT id_a, id_b,
+                  least(hi_a, hi_b) - greatest(lo_a, lo_b) AS overlap_len,
+                  row_number() OVER (PARTITION BY id_a
+                                     ORDER BY least(hi_a, hi_b)
+                                              - greatest(lo_a, lo_b) DESC,
+                                              id_b) AS rn
+           FROM a JOIN b ON lo_a <= hi_b AND lo_b <= hi_a)
+    SELECT id_a, id_b, overlap_len FROM pairs WHERE rn = 1
+    """,
+)
+def q_argmax_overlap(spark, sf_dir):
+    """J7/A8: max-overlap argmax join (PatchExecutor.py:178-209) — banded
+    join + top-1-per-group window."""
+    from logcrawler_spark.operators.theta_join import argmax_overlap_join
+
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("user_id") < 2).select(
+        F.col("event_id").alias("id_a"),
+        F.col("value").alias("lo_a"),
+        (F.col("value") + 15).alias("hi_a"),
+    )
+    b = e.filter((F.col("user_id") >= 2) & (F.col("user_id") < 4)).select(
+        F.col("event_id").alias("id_b"),
+        F.col("value").alias("lo_b"),
+        (F.col("value") + 15).alias("hi_b"),
+    )
+    return argmax_overlap_join(
+        a, b, "id_a", "lo_a", "hi_a", "id_b", "lo_b", "hi_b", band_width=16
+    ).select("id_a", "id_b", "overlap_len")
+
+
+# ------------------------------------------------- politeness / event windows
+@register(
+    "q_politeness_window",
+    """
+    SELECT event_id, slot FROM (
+      SELECT event_id,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY value DESC, event_id) AS slot
+      FROM events)
+    WHERE slot <= 2
+    """,
+)
+def q_politeness_window(spark, sf_dir):
+    """T4/O4: per-key budget in tumbling event-time windows — the
+    sleep(0.5) politeness analog (12_input_images.py:79), two-phase salted
+    rank for skew."""
+    from logcrawler_spark.operators.politeness import politeness_budget
+
+    e = _t(spark, sf_dir, "events")
+    return politeness_budget(
+        e,
+        host_col="user_id",
+        ts_col="ts",
+        budget=2,
+        window_duration="1 hour",
+        order=[F.col("value").desc(), F.col("event_id")],
+    ).select("event_id", "slot")
+
+
+@register(
+    "q_event_window_agg",
+    """
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+    FROM events GROUP BY win_start, event_type
+    """,
+)
+def q_event_window_agg(spark, sf_dir):
+    """T4/T7: tumbling event-time window aggregation — the batch twin of
+    the Structured Streaming pipeline in streaming/ (same plan, same
+    results; see tests/test_streaming.py)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window(F.col("ts"), "1 hour").start.alias("win_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_c"),
+        )
+    )
+
+
+# ------------------------------------------------------------- dedup family
+@register(
+    "q_dedup_exact",
+    """
+    SELECT md5(text) AS fp, min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM documents GROUP BY fp
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content fingerprint (U3/U4 analog)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("fp"))
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+_MINHASH_ORACLE = """
+    WITH words AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS w
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(w[i:i+2], ' ') AS shingle
+      FROM words,
+           LATERAL (SELECT unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i)),
+    mh AS (
+      SELECT doc_id, j,
+             min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS sig
+      FROM grams CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
+      GROUP BY doc_id, j),
+    bands AS (
+      SELECT doc_id, CAST(j // 2 AS INT) AS band,
+             md5(string_agg(sig, '|' ORDER BY j)) AS band_hash
+      FROM mh GROUP BY doc_id, band)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+"""
+
+
+@register("q_minhash_lsh_pairs", _MINHASH_ORACLE)
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup candidates: shingle -> 8 md5-minhashes -> 4
+    bands -> band-hash equi-self-join (no O(n^2) compare)."""
+    from logcrawler_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "text", "doc_id", k=8, bands=4, n=3)
+
+
+@register(
+    "q_ngram_jaccard_pairs",
+    f"""
+    WITH cand AS ({_MINHASH_ORACLE}),
+    words AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS w
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               [array_to_string(w[i:i+2], ' ')
+                FOR i IN range(1, greatest(len(w) - 2, 1) + 1)])) AS s
+      FROM words)
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(a.s || b.s)) AS jaccard
+    FROM cand c JOIN sh a ON c.id_a = a.doc_id
+                JOIN sh b ON c.id_b = b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(a.s || b.s)) >= 0.2
+    """,
+)
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard over the LSH candidate pairs."""
+    from logcrawler_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        d, "text", "doc_id", n=3, threshold=0.2, lsh_k=8, lsh_bands=4
+    )
+
+
+@register("q_simhash_pairs")  # pandas-UDF kernel: rows-only driver check;
+# exact dual-implementation oracle in tests/test_dedup.py
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (64-bit, 16-bit band blocking)."""
+    from logcrawler_spark.operators.dedup import simhash_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_dup_pairs(d, "text", "doc_id", max_hamming=16, n=3)
+
+
+_DOT = """list_reduce(list_prepend(0.0,
+            list_transform(range(1, 65),
+              i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))),
+            (acc, x) -> acc + x)"""
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return _DOT.format(a=a, b=b)
+
+
+@register(
+    "q_embedding_dup_pairs",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END)
+               AS bucket,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6)
+             AS cosine
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= 0.25
+    """,
+)
+def q_embedding_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup: sign-LSH bucket join + exact cosine.
+    Left-fold dot products are bit-identical to the DuckDB oracle."""
+    from logcrawler_spark.operators.dedup import embedding_cosine_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_cosine_dup_pairs(
+        e, "embedding", "vec_id", threshold=0.25
+    )
+
+
+# ------------------------------------------------------- similarity search
+@register(
+    "q_ann_topk_bruteforce",
+    f"""
+    WITH c AS (SELECT vec_id, embedding,
+                      sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+               FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding AS qe,
+                      sqrt({_dot_sql('embedding', 'embedding')}) AS qn
+               FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, c.vec_id AS id,
+                  round({_dot_sql('c.embedding', 'q.qe')} / (c.nrm * q.qn), 6)
+                    AS cosine
+           FROM c CROSS JOIN q),
+         ranked AS (
+           SELECT query_id, id, cosine,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, id) AS rank
+           FROM scored)
+    SELECT query_id, rank, id, cosine FROM ranked WHERE rank <= 5
+    """,
+)
+def q_ann_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-k: broadcast query side, JVM-side fold, window
+    top-k — the ANN baseline."""
+    from logcrawler_spark.operators.similarity import cosine_topk_bruteforce
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return cosine_topk_bruteforce(
+        e, q, "embedding", "vec_id", "vec_id", k=5
+    )
+
+
+@register(
+    "q_ann_topk_lsh",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END)
+               AS bucket,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS id,
+                  round({_dot_sql('c.embedding', 'q.embedding')}
+                        / (c.nrm * q.nrm), 6) AS cosine
+           FROM e c JOIN e q ON c.bucket = q.bucket
+           WHERE q.vec_id < 5),
+         ranked AS (
+           SELECT query_id, id, cosine,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, id) AS rank
+           FROM scored)
+    SELECT query_id, rank, id, cosine FROM ranked WHERE rank <= 5
+    """,
+)
+def q_ann_topk_lsh(spark, sf_dir):
+    """Sign-LSH bucketed ANN top-k — the scale path (bucket equi-join
+    replaces the cross join)."""
+    from logcrawler_spark.operators.similarity import cosine_topk_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return cosine_topk_lsh(e, q, "embedding", "vec_id", "vec_id", k=5)
+
+
+# ---------------------------------------------------------- text analysis
+@register(
+    "q_text_stats",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')
+               AS t
+      FROM documents),
+    scored AS (
+      SELECT doc_id, text, len(t) AS n_tokens,
+             len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_ish,
+             CAST(len(list_filter(t, x -> x IN
+               ('the','and','of','to','in','is','it','for'))) AS DOUBLE)
+               / len(t) AS sw_en,
+             CAST(len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+                  AS DOUBLE) / len(text) AS punct
+      FROM toks WHERE len(t) > 0)
+    SELECT doc_id, n_tokens, n_bpe_ish,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+           round(greatest(
+             (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000
+                   THEN 0.5 ELSE 0.0 END)
+             + least(sw_en * 2.0, 0.4) - least(punct * 2.0, 0.3),
+             0.0), 6) AS quality
+    FROM scored
+    """,
+)
+def q_text_stats(spark, sf_dir):
+    """Text-analysis pack: token counts, BPE-ish count, fingerprint,
+    quality score — all JVM-side expressions."""
+    from logcrawler_spark.functions.text import (
+        bpe_ish_token_count,
+        fingerprint,
+        quality_score,
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.filter(token_count(t) > 0).select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_ish"),
+        fingerprint(t).alias("fp"),
+        quality_score(t).alias("quality"),
+    )
+
+
+@register(
+    "q_lang_id",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')
+               AS t
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_filter(t, x -> x IN
+          ('der','die','und','das','ist','nicht','ein','zu'))) AS DOUBLE)
+          / len(t) END AS s_de,
+        CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_filter(t, x -> x IN
+          ('the','and','of','to','in','is','it','for'))) AS DOUBLE)
+          / len(t) END AS s_en,
+        CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_filter(t, x -> x IN
+          ('el','la','de','los','es','un','para','por'))) AS DOUBLE)
+          / len(t) END AS s_es,
+        CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_filter(t, x -> x IN
+          ('le','la','et','les','des','est','un','pour'))) AS DOUBLE)
+          / len(t) END AS s_fr
+      FROM toks)
+    SELECT doc_id,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0.0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+    """,
+)
+def q_lang_id(spark, sf_dir):
+    """N-gram-heuristic language ID (stopword-ratio argmax, ties -> first
+    language alphabetically)."""
+    from logcrawler_spark.functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+# ----------------------------------------------------- multimodal plumbing
+@register(
+    "q_multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(strlen(text) % 617 + 16 AS INT) AS width,
+           CAST((strlen(text) * 7) % 471 + 16 AS INT) AS height,
+           concat('fake/', CAST(strlen(text) % 3 AS VARCHAR)) AS fmt
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal column plumbing: opaque binary payload -> typed metadata
+    via an Arrow-batched mapInPandas "decoder". The real image/audio decode
+    is stubbed (libs not in this image — see operators/multimodal.py), but
+    the Spark-side schema/partitioning/batch shape is real and oracled via
+    deterministic fake-decode arithmetic."""
+    from logcrawler_spark.operators.multimodal import decode_blob_metadata
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return decode_blob_metadata(d, id_col="doc_id", payload_col="payload")
+
+
+# ------------------------------------------------------- SURT / crawl round
+@register(
+    "q_surt_canonicalize",
+    r"""
+    WITH u AS (
+      SELECT doc_id,
+             'http://HOST' || CAST(doc_id % 50 AS VARCHAR) || '.Example.COM'
+             || CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END
+             || '/d' || CAST(doc_id % 97 AS VARCHAR)
+             || CASE WHEN doc_id % 4 = 3 THEN '//p' ELSE '/p' END
+             || CAST(doc_id AS VARCHAR)
+             || CASE WHEN doc_id % 4 = 1 THEN '#frag'
+                     WHEN doc_id % 4 = 2 THEN '?b=2&a=1' ELSE '' END AS url
+      FROM documents),
+    parts AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#:]*)', 1)) AS host,
+             CASE WHEN regexp_extract(url, '^[a-zA-Z]+://[^/?#]*:(\d+)', 1)
+                       IN ('', '80') THEN ''
+                  ELSE ':' || regexp_extract(url,
+                       '^[a-zA-Z]+://[^/?#]*:(\d+)', 1) END AS port,
+             CASE WHEN regexp_replace(
+                    regexp_extract(url, '^[a-zA-Z]+://[^/?#]*([^?#]*)', 1),
+                    '//+', '/', 'g') = '' THEN '/'
+                  ELSE regexp_replace(
+                    regexp_extract(url, '^[a-zA-Z]+://[^/?#]*([^?#]*)', 1),
+                    '//+', '/', 'g') END AS path,
+             array_to_string(list_sort(list_filter(
+               string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+               x -> x <> '')), '&') AS q
+      FROM u)
+    SELECT doc_id,
+           'http://' || host || port || path
+             || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url,
+           array_to_string(list_reverse(string_split(host, '.')), ',')
+             || port || ')' || path
+             || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS surt_key
+    FROM parts
+    """,
+)
+def q_surt_canonicalize(spark, sf_dir):
+    """C2: SURT canonicalization as a pure expression pipeline, checked
+    against an independent DuckDB re-implementation over trap URLs."""
+    from logcrawler_spark.functions.urls import canonicalize_url, surt
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://HOST"), (i % 50).cast("string"), F.lit(".Example.COM"),
+        F.when(i % 4 == 0, ":80").otherwise(""),
+        F.lit("/d"), (i % 97).cast("string"),
+        F.when(i % 4 == 3, "//p").otherwise("/p"),
+        i.cast("string"),
+        F.when(i % 4 == 1, "#frag")
+        .when(i % 4 == 2, "?b=2&a=1")
+        .otherwise(""),
+    )
+    return d.select(
+        "doc_id",
+        canonicalize_url(url).alias("canonical_url"),
+        surt(url).alias("surt_key"),
+    )
+
+
+@register("q_crawl_round")  # full-pipeline op: no single SQL equivalent;
+# exactly matched against the pure-Python simulator in tests/
+def q_crawl_round(spark, sf_dir):
+    """The flagship composed plan as a pack entry (rows-only driver check;
+    the exact-order oracle lives in tests/test_frontier_oracle.py)."""
+    from logcrawler_spark.plans.frontier import run_crawl
+    from logcrawler_spark.sources.pages import (
+        generate_pages,
+        generate_robots_rules,
+        generate_seeds,
+    )
+
+    pages = generate_pages(spark, sf_dir, n_hosts=50)
+    seeds = generate_seeds(spark, sf_dir, n_hosts=50)
+    robots = generate_robots_rules(spark, n_hosts=50)
+    state = run_crawl(spark, pages, seeds, robots, rounds=1, budget=5)
+    return state.schedule.select(
+        "round", "host", "canonical_url", "priority", "host_rank", "slot_ms"
+    )

@@ -1,0 +1,106 @@
+"""Dedup family: planted duplicates + pure-Python dual-implementation
+oracles (reference style: 14_calculate_closest_frames.py:7-34)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from logcrawler_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+)
+
+
+def _docs(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again",  # dup
+        "the quick brown fox jumps over the lazy cat again and again",  # near
+        "completely different content about spark shuffle partitions",
+        "completely different content about spark shuffle partitioning",  # near
+        "unrelated short text",
+    ]
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    d = _docs(spark)
+    kept = exact_dedup(d, "text", "doc_id")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert 0 in ids and 1 not in ids  # doc 1 is an exact dup of doc 0
+    assert len(ids) == 5
+
+
+def test_minhash_finds_exact_and_near_dups(spark):
+    d = _docs(spark)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(d, "text", "doc_id", k=16, bands=8).collect()
+    }
+    assert (0, 1) in pairs  # exact dup always collides in every band
+    # near-dup (one word changed) should collide in >=1 of 8 two-row bands
+    assert (0, 2) in pairs or (1, 2) in pairs
+
+
+def test_ngram_jaccard_scores(spark):
+    d = _docs(spark)
+    rows = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            d, "text", "doc_id", n=3, threshold=0.3, lsh_k=16, lsh_bands=8
+        ).collect()
+    }
+    assert rows.get((0, 1)) == 1.0  # identical shingle sets
+
+
+def _py_simhash(text: str, n: int = 3) -> int:
+    words = text.split()
+    grams = {
+        " ".join(words[j : j + n]) for j in range(max(len(words) - n + 1, 1))
+    }
+    votes = [0] * 64
+    for g in grams:
+        h = int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big")
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    fp = 0
+    for b in range(64):
+        if votes[b] > 0:
+            fp |= 1 << b
+    # to signed int64
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
+def test_simhash_matches_python_oracle(spark):
+    from logcrawler_spark.operators.dedup import simhash64
+
+    d = _docs(spark)
+    got = {
+        r["doc_id"]: r["sh"]
+        for r in d.select(
+            "doc_id", simhash64(3)(F.col("text")).alias("sh")
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: _py_simhash(r["text"])
+        for r in d.collect()
+    }
+    assert got == want
+
+
+def test_simhash_pairs_find_dups(spark):
+    d = _docs(spark)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_dup_pairs(d, "text", "doc_id", max_hamming=16).collect()
+    }
+    assert pairs.get((0, 1)) == 0  # identical -> hamming 0
+    # every returned pair respects the threshold (banding is recall-only;
+    # short texts flip many bits per word change, so near-dups may miss)
+    assert all(h <= 16 for h in pairs.values())
