@@ -84,6 +84,32 @@ def minhash_signature(text: Column, k: int = 16, n: int = 3) -> Column:
     )
 
 
+def minhash_sig_table(
+    df: DataFrame, text_col: str, id_col: str, k: int = 16, n: int = 3
+) -> DataFrame:
+    """(id, mh0..mh{k-1}) signature table via explode + hash-aggregate.
+
+    THE scalable minhash formulation: explode distinct shingles (computed
+    once), hash each k ways map-side, and let partial aggregation reduce to
+    k mins per id before the (tiny) shuffle. The single-projection
+    alternative — an array of k ``array_min(transform(shingles))`` — inlines
+    and recomputes the shingle pipeline k times per row under Catalyst's
+    CollapseProject (measured ~10x slower at sf0.1) and is kept only as the
+    column-expression reference (:func:`minhash_signature`).
+    """
+    from logcrawler_spark.utils import ensure_min_partitions
+
+    grams = ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), n)).alias("g"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("g")))).alias(f"mh{j}")
+        for j in range(k)
+    ]
+    return grams.groupBy("id").agg(*aggs)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -94,14 +120,16 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) via banded MinHash-LSH.
 
-    Plan shape: project signature -> explode B band hashes -> self-equi-join
-    on (band, band_hash) -> distinct pairs. No O(n^2) comparison.
+    Plan shape: signature table (explode + partial-agg) -> B band hashes ->
+    self-equi-join on (band, band_hash) -> distinct pairs. No O(n^2)
+    comparison; the signature table is materialized once (it is tiny —
+    k hex strings per doc) so the self-join doesn't recompute it.
     """
+    from logcrawler_spark.utils import materialize
+
     rows_per_band = k // bands
-    sig = minhash_signature(F.col(text_col), k, n)
-    banded = df.select(
-        F.col(id_col).alias("id"), sig.alias("sig")
-    ).select(
+    sig_df = materialize(minhash_sig_table(df, text_col, id_col, k, n))
+    banded = sig_df.select(
         "id",
         F.explode(
             F.array(
@@ -109,13 +137,12 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.md5(
-                            F.array_join(
-                                F.slice(
-                                    F.col("sig"),
-                                    b * rows_per_band + 1,
-                                    rows_per_band,
-                                ),
+                            F.concat_ws(
                                 "|",
+                                *[
+                                    F.col(f"mh{b * rows_per_band + i}")
+                                    for i in range(rows_per_band)
+                                ],
                             )
                         ).alias("band_hash"),
                     )
@@ -152,8 +179,12 @@ def ngram_jaccard_pairs(
     jaccard = |A ∩ B| / |A ∪ B| on distinct word n-grams; candidates come
     from :func:`minhash_lsh_pairs` so only near-pairs pay the set compare.
     """
+    from logcrawler_spark.utils import ensure_min_partitions, materialize
+
     cand = minhash_lsh_pairs(df, text_col, id_col, lsh_k, lsh_bands, n)
-    sh = df.select(
+    # shingle projection is cheap (single pass); recomputing it per join
+    # side beats materializing the wide arrays
+    sh = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
     )
     return (
@@ -238,8 +269,13 @@ def simhash_dup_pairs(
     wider distances use it as a recall-oriented blocker). Equi-join on the
     band value — same no-O(n^2) shape as MinHash-LSH.
     """
+    from logcrawler_spark.utils import ensure_min_partitions, materialize
+
     sh = simhash64(n)(F.col(text_col)).alias("simhash")
-    base = df.select(F.col(id_col).alias("id"), sh)
+    # pandas-UDF fingerprint feeds a banded self-join: compute once
+    base = materialize(
+        ensure_min_partitions(df).select(F.col(id_col).alias("id"), sh)
+    )
     banded = base.select(
         "id",
         "simhash",
@@ -292,6 +328,8 @@ def embedding_cosine_dup_pairs(
     random-hyperplane LSH at scale would use multiple tables; the plan shape
     (equi-join on bucket key) is identical.
     """
+    from logcrawler_spark.utils import ensure_min_partitions, materialize
+
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     bucket = F.concat(
         *[
@@ -300,12 +338,13 @@ def embedding_cosine_dup_pairs(
         ]
     )
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    e = df.select(
+    df = ensure_min_partitions(df)
+    e = materialize(df.select(
         F.col(id_col).alias("id"),
         v.alias("v"),
         bucket.alias("bucket"),
         norm.alias("norm"),
-    )
+    ))
     a, b = e.alias("a"), e.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),

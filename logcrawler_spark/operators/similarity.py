@@ -46,7 +46,9 @@ def cosine_topk_bruteforce(
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, rank, id, cosine). Deterministic:
     cosine rounded to 6 dp before ranking, ties -> smaller corpus id."""
-    c = corpus.select(
+    from logcrawler_spark.utils import ensure_min_partitions
+
+    c = ensure_min_partitions(corpus).select(
         F.col(id_col).alias("id"),
         _as_double(F.col(vec_col)).alias("cv"),
         _norm(_as_double(F.col(vec_col))).alias("cn"),
@@ -95,7 +97,9 @@ def cosine_topk_lsh(
     the corpus side shuffles once on a 2^|positions|-ary key. Same output
     schema as the brute-force baseline for direct recall measurement.
     """
-    c = corpus.select(
+    from logcrawler_spark.utils import ensure_min_partitions
+
+    c = ensure_min_partitions(corpus).select(
         F.col(id_col).alias("id"),
         _as_double(F.col(vec_col)).alias("cv"),
         _norm(_as_double(F.col(vec_col))).alias("cn"),

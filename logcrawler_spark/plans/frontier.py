@@ -157,7 +157,11 @@ def crawl_round(
 ) -> CrawlState:
     """Advance one round. ``pages_c`` = pages with canonical_url attached."""
     rnd = state.round_no + 1
-    cand = dedup_batch(canonicalize_candidates(state.candidates))
+    n_raw = state.candidates.count()  # candidates df is materialized: cheap
+    # materialize keyed+deduped candidates ONCE — every downstream stage
+    # (bloom/anti-join, robots, politeness) reuses them without re-running
+    # the canonicalization regex pipeline
+    cand = _materialize(dedup_batch(canonicalize_candidates(state.candidates)))
     n_cand = cand.count()
 
     blooms = None
@@ -176,23 +180,31 @@ def crawl_round(
         politeness_rank(allowed, budget).withColumn("round", F.lit(rnd))
     )
 
-    fetched = sched.join(pages_c, on="canonical_url", how="inner")
-    parsed = _materialize(
-        fetched.select(
-            "canonical_url",
-            "host",
-            "priority",
-            "round",
-            extract_text(F.col("html")).alias("extracted_text"),
-            F.col("html"),
-        )
+    # fetch join, materialized ONCE (it feeds both the extraction aggregate
+    # and the outlink expansion) and spread across all cores first: AQE
+    # coalesces the small join output by byte size, but the consumers are
+    # Python-UDF CPU-bound, which AQE's sizing cannot see
+    par = state.candidates.sparkSession.sparkContext.defaultParallelism
+    fetched = _materialize(
+        sched.join(pages_c, on="canonical_url", how="inner")
+        .select("canonical_url", "priority", "html")
+        .repartition(par)
     )
+    # run the extraction kernel to an aggregate (keeps the full X1 workload
+    # honest — count() alone would let Catalyst prune the UDF away)
+    ext = fetched.select(
+        extract_text(F.col("html")).alias("t")
+    ).agg(
+        F.count("*").alias("n"), F.sum(F.length("t")).alias("b")
+    ).collect()[0]
+    n_fetched, bytes_extracted = int(ext["n"] or 0), int(ext["b"] or 0)
+
     outlinks = extract_outlinks(
         fetched.select(F.col("canonical_url").alias("url"), "html"), "url"
     )
     next_cand = _materialize(
         outlinks.join(
-            sched.select(
+            fetched.select(
                 F.col("canonical_url").alias("src_url"),
                 F.col("priority").alias("__parent_priority"),
             ),
@@ -208,16 +220,16 @@ def crawl_round(
             sched.select("url_hash", "canonical_url", F.lit(rnd).alias("first_seen_round"))
         )
     )
-    n_sched = sched.count()
-    n_fetched = parsed.count()
     round_metrics = (
         sched.groupBy("round", "host")
         .agg(
             F.count("*").alias("urls_scheduled"),
             F.max("host_rank").alias("max_host_rank"),
         )
+        .withColumn("urls_raw_total", F.lit(n_raw))
         .withColumn("urls_candidates_total", F.lit(n_cand))
         .withColumn("pages_fetched_total", F.lit(n_fetched))
+        .withColumn("bytes_extracted_total", F.lit(bytes_extracted))
     )
     metrics = (
         round_metrics

@@ -97,10 +97,17 @@ def _outlink_target(idcol: Column, salt: int, n_docs: int) -> Column:
 
 
 def generate_pages(
-    spark: SparkSession, sf_dir: str, n_hosts: int = 500
+    spark: SparkSession, sf_dir: str, n_hosts: int = 500,
+    explode_factor: int = 1,
 ) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang) from ``{sf_dir}/documents.parquet``."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """pages(url, warc_ts, html, text, lang) from ``{sf_dir}/documents.parquet``.
+
+    ``explode_factor`` E deterministically amplifies the corpus (bench
+    scale): each document becomes E pages with ids ``doc_id*E + k`` (unique,
+    closed-form), reusing the document text so the extraction invariant is
+    unchanged. E=1 (tests) is the identity.
+    """
+    docs = _expanded_docs(spark, sf_dir, explode_factor)
     n_docs = docs.count()
     d = F.col("doc_id")
 
@@ -143,11 +150,27 @@ def generate_pages(
     )
 
 
+def _expanded_docs(
+    spark: SparkSession, sf_dir: str, explode_factor: int
+) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    if explode_factor <= 1:
+        return docs
+    e = F.lit(explode_factor)
+    reps = spark.range(explode_factor).select(F.col("id").alias("__k"))
+    return docs.crossJoin(reps).select(
+        (F.col("doc_id") * e + F.col("__k")).alias("doc_id"), "text", "lang"
+    )
+
+
 def generate_seeds(
-    spark: SparkSession, sf_dir: str, n_hosts: int = 500
+    spark: SparkSession, sf_dir: str, n_hosts: int = 500,
+    explode_factor: int = 1,
 ) -> DataFrame:
     """seeds(url, priority): every 11th doc, plus some 404s (no page)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _expanded_docs(spark, sf_dir, explode_factor)
     n_docs = docs.count()
     d = F.col("doc_id")
     live = docs.filter(F.pmod(d, F.lit(11)) == 0).select(
