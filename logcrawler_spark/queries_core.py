@@ -341,10 +341,17 @@ def q_lag_diff(spark, sf_dir):
     """W1: consecutive frame-time deltas (frame_time_diffrences.py:60-72)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
-    # ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the cast is identity
-    us = (F.unix_micros(F.col("ts").cast("timestamp"))).cast("long")
-    return e.select(
-        "event_id", (us - F.lag(us).over(w)).cast("long").alias("dt_us")
+    # timestampdiff on TIMESTAMP_NTZ is session-TZ-independent (a plain
+    # cast to TIMESTAMP would shift across DST boundaries in non-UTC
+    # driver sessions)
+    return (
+        e.withColumn("__prev_ts", F.lag("ts").over(w))
+        .select(
+            "event_id",
+            F.expr("timestampdiff(MICROSECOND, __prev_ts, ts)")
+            .cast("long")
+            .alias("dt_us"),
+        )
     )
 
 

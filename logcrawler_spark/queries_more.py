@@ -1,0 +1,300 @@
+"""Coverage batch 3: remaining SURVEY.md §2 operator rows.
+
+F8 fuzzy match, C10 map ops, C11 explode/flatten, C12 geometry scalars,
+C13 line extraction, A6/A7 mean+variance (exact integer-cents formulation),
+A8 max_by, A9 count-compare gate, U2 set difference, S12/A3 metadata-only
+counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from logcrawler_spark.queries import _t, register
+
+
+@register(
+    "q_fuzzy_match",
+    """
+    SELECT doc_id FROM documents
+    WHERE lower(text) LIKE '%spark%' AND lower(text) LIKE '%join%'
+          AND lang <> 'und'
+    """,
+)
+def q_fuzzy_match(spark, sf_dir):
+    """F8/J8: all-keywords fuzzy predicate (scripts/sort_logs.py:163-216)."""
+    kws = F.array(F.lit("spark"), F.lit("join"))
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(
+        F.forall(kws, lambda kw: F.lower(F.col("text")).contains(kw))
+        & (F.col("lang") != "und")
+    ).select("doc_id")
+
+
+@register(
+    "q_word_freq",
+    """
+    SELECT word, count(*) AS n FROM (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word ORDER BY n DESC, word LIMIT 20
+    """,
+)
+def q_word_freq(spark, sf_dir):
+    """C11/X6: explode-flatten (10_input_behavior_frames.py:64-93)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(20)
+    )
+
+
+@register(
+    "q_geometry_bbox",
+    """
+    WITH a AS (SELECT event_id AS id_a, value AS x1,
+                      CAST(event_id % 50 AS DOUBLE) AS y1,
+                      value + 10 AS x2,
+                      CAST(event_id % 50 AS DOUBLE) + 8 AS y2
+               FROM events WHERE user_id < 2),
+         b AS (SELECT event_id AS id_b, value AS x1,
+                      CAST(event_id % 50 AS DOUBLE) AS y1,
+                      value + 10 AS x2,
+                      CAST(event_id % 50 AS DOUBLE) + 8 AS y2
+               FROM events WHERE user_id >= 2 AND user_id < 4)
+    SELECT id_a, id_b,
+           greatest(least(a.x2, b.x2) - greatest(a.x1, b.x1), 0)
+             * greatest(least(a.y2, b.y2) - greatest(a.y1, b.y1), 0)
+             AS inter_area
+    FROM a JOIN b
+      ON a.x1 <= b.x2 AND b.x1 <= a.x2 AND a.y1 <= b.y2 AND b.y1 <= a.y2
+    WHERE greatest(least(a.x2, b.x2) - greatest(a.x1, b.x1), 0)
+            * greatest(least(a.y2, b.y2) - greatest(a.y1, b.y1), 0) >= 20
+    """,
+)
+def q_geometry_bbox(spark, sf_dir):
+    """C12/J6: bbox intersection area >= threshold
+    (check_bbox_overlap_tasks.py:60-87, patch_exporter/tests.py:6-55)."""
+    e = _t(spark, sf_dir, "events")
+
+    def boxes(df, idname):
+        return df.select(
+            F.col("event_id").alias(idname),
+            F.col("value").alias("x1"),
+            (F.col("event_id") % 50).cast("double").alias("y1"),
+            (F.col("value") + 10).alias("x2"),
+            ((F.col("event_id") % 50).cast("double") + 8).alias("y2"),
+        )
+
+    a = boxes(e.filter(F.col("user_id") < 2), "id_a").alias("a")
+    b = boxes(
+        e.filter((F.col("user_id") >= 2) & (F.col("user_id") < 4)), "id_b"
+    ).alias("b")
+    inter = F.greatest(
+        F.least(F.col("a.x2"), F.col("b.x2"))
+        - F.greatest(F.col("a.x1"), F.col("b.x1")),
+        F.lit(0.0),
+    ) * F.greatest(
+        F.least(F.col("a.y2"), F.col("b.y2"))
+        - F.greatest(F.col("a.y1"), F.col("b.y1")),
+        F.lit(0.0),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.x1") <= F.col("b.x2"))
+            & (F.col("b.x1") <= F.col("a.x2"))
+            & (F.col("a.y1") <= F.col("b.y2"))
+            & (F.col("b.y1") <= F.col("a.y2")),
+        )
+        .withColumn("inter_area", inter)
+        .filter(F.col("inter_area") >= 20)
+        .select("id_a", "id_b", "inter_area")
+    )
+
+
+@register(
+    "q_line_extract",
+    """
+    SELECT doc_id,
+           string_split(text, ' ')[1] AS first_word,
+           regexp_extract(text, 'join ([a-z]+)', 1) AS after_join
+    FROM documents
+    """,
+)
+def q_line_extract(spark, sf_dir):
+    """C13: positional/line field extraction (01:106-115,
+    15_add_git_hash.py:9-16)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.split(F.col("text"), " ")[0].alias("first_word"),
+        F.regexp_extract(F.col("text"), "join ([a-z]+)", 1).alias("after_join"),
+    )
+
+
+@register(
+    "q_mean_var",
+    """
+    WITH s AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ss_c
+      FROM events GROUP BY event_type)
+    SELECT event_type, n,
+           (CAST(sum_c AS DOUBLE) / 100.0) / n AS avg_value,
+           (CAST(ss_c AS DOUBLE) / 10000.0) / n
+             - ((CAST(sum_c AS DOUBLE) / 100.0) / n)
+               * ((CAST(sum_c AS DOUBLE) / 100.0) / n) AS var_value
+    FROM s
+    """,
+)
+def q_mean_var(spark, sf_dir):
+    """A6/A7: mean + population variance (13_calculate_image_stats.py:32-35,
+    88-96) via exact integer-cents sums, so the derived doubles are
+    bit-identical across engines (no accumulation-order dependence)."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    s = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(cents).alias("sum_c"),
+        F.sum(cents * cents).alias("ss_c"),
+    )
+    avg = (F.col("sum_c").cast("double") / 100.0) / F.col("n")
+    var = (F.col("ss_c").cast("double") / 10000.0) / F.col("n") - avg * avg
+    return s.select(
+        "event_type", "n", avg.alias("avg_value"), var.alias("var_value")
+    )
+
+
+@register(
+    "q_maxby",
+    """
+    SELECT user_id, event_id AS top_event_id FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def q_maxby(spark, sf_dir):
+    """A8: max_by with deterministic composite ordering
+    (PatchExecutor.py:191-209)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.max_by("event_id", F.struct("value", "event_id")).alias(
+            "top_event_id"
+        )
+    )
+
+
+@register(
+    "q_count_gate",
+    """
+    WITH e AS (SELECT l_orderkey, count(*) AS expected_n
+               FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_orderkey),
+         a AS (SELECT l_orderkey, count(*) AS actual_n
+               FROM lineitem
+               WHERE l_orderkey < 2000 AND l_shipdate < TIMESTAMP '1996-01-01'
+               GROUP BY l_orderkey)
+    SELECT e.l_orderkey, expected_n,
+           coalesce(actual_n, 0) AS actual_n,
+           CASE WHEN coalesce(actual_n, 0) = expected_n THEN 'done'
+                WHEN coalesce(actual_n, 0) > expected_n THEN 'error'
+                ELSE 'pending' END AS status
+    FROM e LEFT JOIN a ON e.l_orderkey = a.l_orderkey
+    """,
+)
+def q_count_gate(spark, sf_dir):
+    """A9/T2: expected-vs-actual count reconciliation gate (07:29-42)."""
+    from logcrawler_spark.operators.reconcile import count_gate
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    done = li.filter(F.col("l_shipdate") < "1996-01-01")
+    return count_gate(li, done, "l_orderkey").select(
+        "l_orderkey", "expected_n", "actual_n", "status"
+    )
+
+
+@register(
+    "q_set_difference",
+    """
+    SELECT DISTINCT l_partkey AS k FROM lineitem
+    EXCEPT
+    SELECT p_partkey AS k FROM part WHERE p_size > 25
+    """,
+)
+def q_set_difference(spark, sf_dir):
+    """U2: pending-work set difference (04:8-33, 05:8-27)."""
+    a = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("k"))
+    b = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") > 25)
+        .select(F.col("p_partkey").alias("k"))
+    )
+    return a.distinct().exceptAll(b.distinct())
+
+
+@register(
+    "q_metadata_counts",
+    """
+    SELECT 'orders' AS tbl, count(*) AS n FROM orders
+    UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+    UNION ALL SELECT 'customer', count(*) FROM customer
+    UNION ALL SELECT 'events', count(*) FROM events
+    """,
+)
+def q_metadata_counts(spark, sf_dir):
+    """S12/A3: metadata-only count(*) fast path — Spark answers these from
+    parquet footers (the fast_ls analog, scripts/fast_ls.c:6-27)."""
+    parts = []
+    for tbl in ["orders", "lineitem", "customer", "events"]:
+        parts.append(
+            _t(spark, sf_dir, tbl)
+            .groupBy()
+            .agg(F.count("*").alias("n"))
+            .select(F.lit(tbl).alias("tbl"), "n")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "q_map_ops",
+    """
+    WITH c AS (SELECT user_id, event_type, count(*) AS n
+               FROM events GROUP BY user_id, event_type)
+    SELECT user_id,
+           string_agg(event_type || ':' || CAST(n AS VARCHAR), ','
+                      ORDER BY event_type) AS type_counts
+    FROM c GROUP BY user_id
+    """,
+)
+def q_map_ops(spark, sf_dir):
+    """C10: map construction/merge (11:219-248) — counts assembled into a
+    map column, then emitted as a sorted entries string for cross-engine
+    comparison."""
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(F.struct("event_type", "n"))
+            )
+        ).alias("m")
+    )
+    entries = F.transform(
+        F.map_entries(F.col("m")),
+        lambda kv: F.concat(kv["key"], F.lit(":"), kv["value"].cast("string")),
+    )
+    return m.select(
+        "user_id", F.array_join(entries, ",").alias("type_counts")
+    )

@@ -98,7 +98,7 @@ def _outlink_target(idcol: Column, salt: int, n_docs: int) -> Column:
 
 def generate_pages(
     spark: SparkSession, sf_dir: str, n_hosts: int = 500,
-    explode_factor: int = 1,
+    explode_factor: int = 1, html_pad: int = 0,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) from ``{sf_dir}/documents.parquet``.
 
@@ -106,6 +106,11 @@ def generate_pages(
     scale): each document becomes E pages with ids ``doc_id*E + k`` (unique,
     closed-form), reusing the document text so the extraction invariant is
     unchanged. E=1 (tests) is the identity.
+
+    ``html_pad`` P inserts P copies of a 40-byte non-paragraph filler block
+    into the html body (markup the extraction kernel must scan and skip),
+    approximating realistic page sizes (P=256 ~ 10 KB) without changing the
+    expected extraction output.
     """
     docs = _expanded_docs(spark, sf_dir, explode_factor)
     n_docs = docs.count()
@@ -128,7 +133,12 @@ def generate_pages(
         F.lit("</title></head><body><p>"),
         p1,
         F.when(p2 != "", F.concat(F.lit("</p><p>"), p2)).otherwise(F.lit("")),
-        F.lit('</p><a href="'),
+        F.lit("</p>"),
+        F.repeat(
+            F.lit('<div class="nav"><span>menu item</span></div>'),
+            html_pad,
+        ),
+        F.lit('<a href="'),
         link_abs,
         F.lit('">l1</a><a href="'),
         link_rel,

@@ -5,8 +5,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+_MAT_DIR: str | None = None
+_MAT_SEQ = 0
+
+
 def materialize(df: DataFrame) -> DataFrame:
-    """Eagerly compute and pin a DataFrame (localCheckpoint).
+    """Eagerly compute and pin a DataFrame via a scratch-parquet round trip.
 
     Used where a derived column is expensive (minhash signatures, pandas-UDF
     fingerprints) AND the plan references it multiple times (self-joins,
@@ -14,8 +18,20 @@ def materialize(df: DataFrame) -> DataFrame:
     expression into every consumer and recompute it per reference (measured
     16x slowdown on MinHash-LSH). On a cluster this is where the signature
     table would be persisted as a real artifact for reuse across runs.
+
+    Deliberately NOT ``localCheckpoint``: its Dataset->RDD conversion drops
+    WholeStageCodegen and re-evaluates the plan's expressions interpreted,
+    measured up to 30x slower at 32 threads (see plans/frontier.py).
     """
-    return df.localCheckpoint(eager=True)
+    global _MAT_DIR, _MAT_SEQ
+    import tempfile
+
+    if _MAT_DIR is None:
+        _MAT_DIR = tempfile.mkdtemp(prefix="logcrawler-mat-")
+    _MAT_SEQ += 1
+    path = f"{_MAT_DIR}/m{_MAT_SEQ:05d}"
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
 
 
 def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:

@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the crawl engine.
+
+Usage (local sandbox; on a cluster swap --master and add executor confs):
+
+    ./scripts/build_zip.sh
+    spark-submit --master 'local[32]' \
+        --py-files dist/logcrawler_spark.zip \
+        scripts/crawl_job.py \
+        --sf-dir /root/testdata/sf0.01 --rounds 2 --budget 8 \
+        --out /tmp/crawl_out
+
+The job builds the synthetic corpus from the sf dir, runs the crawl with a
+snapshot catalog at --out (resumable: re-running with a higher --rounds
+continues from the last committed round), and prints per-round metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", required=True)
+    ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument("--budget", type=int, default=8)
+    ap.add_argument("--n-hosts", type=int, default=500)
+    ap.add_argument("--explode", type=int, default=1)
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    # under spark-submit the session/master comes from the submitter
+    spark = SparkSession.builder.appName("logcrawler-crawl").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from logcrawler_spark.catalog import Catalog
+    from logcrawler_spark.plans.frontier import resume_crawl, run_crawl
+    from logcrawler_spark.sources.pages import (
+        generate_pages,
+        generate_robots_rules,
+        generate_seeds,
+    )
+
+    pages = generate_pages(spark, args.sf_dir, args.n_hosts, args.explode)
+    robots = generate_robots_rules(spark, args.n_hosts)
+    cat = Catalog(spark, args.out)
+
+    if cat.exists("round_marker"):
+        state = resume_crawl(
+            spark, pages, robots, cat, total_rounds=args.rounds,
+            budget=args.budget,
+        )
+    else:
+        seeds = generate_seeds(spark, args.sf_dir, args.n_hosts, args.explode)
+        state = run_crawl(
+            spark, pages, seeds, robots, rounds=args.rounds,
+            budget=args.budget, catalog=cat,
+        )
+
+    per_round = [
+        {
+            "round": r["round"],
+            "urls_scheduled": r["sched"],
+            "pages_fetched": r["fetched"],
+        }
+        for r in state.metrics.groupBy("round")
+        .agg(
+            F.sum("urls_scheduled").alias("sched"),
+            F.max("pages_fetched_total").alias("fetched"),
+        )
+        .orderBy("round")
+        .collect()
+    ]
+    print(
+        json.dumps(
+            {
+                "rounds": state.round_no,
+                "url_seen": state.url_seen.count(),
+                "per_round": per_round,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Binary record-log sources vs byte-level Python oracles (incl. the
+reference's truncation and last-writer-wins edge cases)."""
+
+from __future__ import annotations
+
+import os
+import struct
+
+from logcrawler_spark.sources.binlog import (
+    frames_of,
+    read_framed_log,
+    read_stride_log,
+    slice_payload,
+)
+
+
+def _framed_record(frame: int, name: str, payload: bytes) -> bytes:
+    return (
+        struct.pack("<i", frame)
+        + name.encode()
+        + b"\x00"
+        + struct.pack("<i", len(payload))
+        + payload
+    )
+
+
+def _write_framed(path: str, truncate_tail: bool = False) -> dict:
+    recs = [
+        (1, "FrameInfo", b"aaa"),
+        (1, "Image", b"img-one"),
+        (1, "Image", b"img-two"),  # duplicate name -> last wins
+        (2, "FrameInfo", b"bbbb"),
+        (3, "FrameInfo", b"cc"),
+    ]
+    blob = b"".join(_framed_record(*r) for r in recs)
+    if truncate_tail:
+        blob += _framed_record(4, "Broken", b"x" * 100)[:-50]  # payload cut
+    with open(path, "wb") as f:
+        f.write(blob)
+    return {"n_complete": 4}  # (1,FrameInfo),(1,Image LWW),(2,..),(3,..)
+
+
+def test_framed_log_parse_and_lww(spark, tmp_path):
+    p = str(tmp_path / "game.log")
+    _write_framed(p)
+    rows = read_framed_log(spark, p).collect()
+    by_key = {(r["frame_number"], r["name"]): r for r in rows}
+    assert len(rows) == 4
+    # duplicate 'Image' in frame 1 collapsed to the LAST record's extent
+    img = by_key[(1, "Image")]
+    assert img["size"] == len(b"img-two")
+
+
+def test_framed_log_drops_truncated_tail(spark, tmp_path):
+    p = str(tmp_path / "broken.log")
+    _write_framed(p, truncate_tail=True)
+    rows = read_framed_log(spark, p).collect()
+    assert {r["frame_number"] for r in rows} == {1, 2, 3}  # frame 4 dropped
+
+
+def test_payload_slicing_byte_exact(spark, tmp_path):
+    p = str(tmp_path / "game.log")
+    _write_framed(p)
+    ext = read_framed_log(spark, p)
+    sliced = slice_payload(ext, spark)
+    got = {
+        (r["frame_number"], r["name"]): bytes(r["payload"])
+        for r in sliced.collect()
+    }
+    assert got[(1, "FrameInfo")] == b"aaa"
+    assert got[(1, "Image")] == b"img-two"
+    assert got[(2, "FrameInfo")] == b"bbbb"
+
+
+def test_frames_grouping(spark, tmp_path):
+    p = str(tmp_path / "game.log")
+    _write_framed(p)
+    frames = {r["frame_number"]: r["fields"] for r in frames_of(
+        read_framed_log(spark, p)
+    ).collect()}
+    assert set(frames) == {1, 2, 3}
+    assert set(frames[1].keys()) == {"FrameInfo", "Image"}
+
+
+def test_stride_log_parity_and_truncation(spark, tmp_path):
+    stride = 16
+    p = str(tmp_path / "images.log")
+    recs = b"".join(
+        struct.pack("<I", 100 + i) + bytes([i]) * stride for i in range(5)
+    )
+    with open(p, "wb") as f:
+        f.write(recs + b"\x01\x02\x03")  # truncated 6th record
+    rows = sorted(
+        read_stride_log(spark, p, stride, first_is_top=True).collect(),
+        key=lambda r: r["record_index"],
+    )
+    assert len(rows) == 5  # tail dropped
+    assert [r["frame_number"] for r in rows] == [100, 101, 102, 103, 104]
+    assert [r["camera"] for r in rows] == ["Top", "Bottom"] * 2 + ["Top"]
+    assert rows[2]["offset"] == 2 * (4 + stride) + 4
+
+
+def test_stride_log_first_is_bottom(spark, tmp_path):
+    stride = 8
+    p = str(tmp_path / "images2.log")
+    with open(p, "wb") as f:
+        f.write(
+            b"".join(struct.pack("<I", i) + b"\x00" * stride for i in range(2))
+        )
+    rows = sorted(
+        read_stride_log(spark, p, stride, first_is_top=False).collect(),
+        key=lambda r: r["record_index"],
+    )
+    assert [r["camera"] for r in rows] == ["Bottom", "Top"]
