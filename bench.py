@@ -26,10 +26,10 @@ import time
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    explode = int(os.environ.get("BENCH_EXPLODE", "8"))
-    html_pad = int(os.environ.get("BENCH_HTML_PAD", "128"))
+    explode = int(os.environ.get("BENCH_EXPLODE", "64"))
+    html_pad = int(os.environ.get("BENCH_HTML_PAD", "32"))
     rounds = int(os.environ.get("BENCH_ROUNDS", "2"))
-    budget = int(os.environ.get("BENCH_BUDGET", "32"))
+    budget = int(os.environ.get("BENCH_BUDGET", "64"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
 
     from pyspark.sql import functions as F

@@ -82,6 +82,102 @@ def sign_bucket(vec: Column, positions: tuple[int, ...] = (0, 1, 2, 3)) -> Colum
     )
 
 
+def assign_ivf_cells(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_centroids: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF cell assignment: (centroids_df, corpus+cell_id).
+
+    Centroids are the ``n_centroids`` lowest-id corpus vectors —
+    deterministic and engine-independent; a production system plugs k-means
+    here without changing the plan shape. Each vector joins its argmax-
+    cosine centroid (broadcast centroids, top-1-per-vector window). At
+    scale the assigned corpus is WRITTEN bucketed/partitioned by
+    ``cell_id`` so probes prune partitions at scan time.
+    """
+    from logcrawler_spark.utils import ensure_min_partitions, materialize
+
+    cents = materialize(
+        corpus.orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("cell_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+            _norm(_as_double(F.col(vec_col))).alias("cn"),
+        )
+    )
+    base = ensure_min_partitions(corpus).select(
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("v"),
+        _norm(_as_double(F.col(vec_col))).alias("vn"),
+    )
+    scored = base.crossJoin(F.broadcast(cents)).withColumn(
+        "sim", _dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cell_id"))
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", "v", "vn", "cell_id")
+    )
+    return cents, assigned
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``n_probe`` nearest cells only.
+
+    Plan shape at scale: queries -> nearest-cells (broadcast centroid
+    scan) -> equi-join on cell_id against the cell-partitioned corpus
+    (partition pruning) -> exact rerank. Guarantees: a query vector that
+    exists in the corpus probes its own cell, so self-matches always rank
+    first (tested).
+    """
+    from logcrawler_spark.utils import materialize
+
+    cents, assigned = assign_ivf_cells(corpus, vec_col, id_col, n_centroids)
+    assigned = materialize(assigned)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+        _norm(_as_double(F.col(vec_col))).alias("qn"),
+    )
+    q_scored = q.crossJoin(F.broadcast(cents)).withColumn(
+        "sim", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cell_id")
+    )
+    probes = (
+        q_scored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "qv", "qn", "cell_id")
+    )
+    cand = assigned.join(F.broadcast(probes), on="cell_id")
+    scored = cand.withColumn(
+        "cosine",
+        F.round(_dot(F.col("v"), F.col("qv")) / (F.col("vn") * F.col("qn")), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "id", "cosine")
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

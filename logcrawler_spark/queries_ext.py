@@ -392,6 +392,21 @@ def q_ann_topk_lsh(spark, sf_dir):
     return cosine_topk_lsh(e, q, "embedding", "vec_id", "vec_id", k=5)
 
 
+@register("q_ann_topk_ivf")  # rows-only: centroid assignment is an
+# engine-internal artifact; invariants (self-match rank 1, cosine parity
+# with brute force) are pinned in tests/test_similarity.py
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF-partitioned approximate top-k — the partition-pruning scale
+    path (probe n nearest cells only)."""
+    from logcrawler_spark.operators.similarity import cosine_topk_ivf
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return cosine_topk_ivf(
+        e, q, "embedding", "vec_id", "vec_id", k=5, n_centroids=8, n_probe=2
+    )
+
+
 # ---------------------------------------------------------- text analysis
 @register(
     "q_text_stats",
