@@ -267,6 +267,47 @@ def q_metadata_counts(spark, sf_dir):
     return out
 
 
+@register("q_binlog_scan")  # rows-only: the framed-log byte format has no
+# SQL analog; byte-level oracles live in tests/test_binlog.py
+def q_binlog_scan(spark, sf_dir):
+    """S2/S3: binary framed-log scan — a deterministic log file is
+    synthesized from the documents table, parsed via binaryFile +
+    mapInPandas into (frame, name, extent) rows, grouped per frame."""
+    import os
+    import struct
+    import tempfile
+
+    from logcrawler_spark.sources.binlog import frames_of, read_framed_log
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+        .collect()
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"binlog_q_{os.path.basename(sf_dir)}.log"
+    )
+    if not os.path.exists(path):
+        with open(path + ".tmp", "wb") as f:
+            for r in sorted(docs, key=lambda r: r["doc_id"]):
+                payload = r["text"].encode()
+                for name in ("Text", "Meta"):
+                    body = payload if name == "Text" else payload[:16]
+                    f.write(
+                        struct.pack("<i", r["doc_id"])
+                        + name.encode()
+                        + b"\x00"
+                        + struct.pack("<i", len(body))
+                        + body
+                    )
+        os.replace(path + ".tmp", path)
+    frames = frames_of(read_framed_log(spark, path))
+    return frames.select(
+        "frame_number", F.size(F.map_keys("fields")).alias("n_fields")
+    )
+
+
 @register(
     "q_map_ops",
     """
