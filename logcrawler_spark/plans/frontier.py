@@ -86,38 +86,52 @@ def dedup_batch(cand: DataFrame) -> DataFrame:
 
 
 def apply_robots(cand: DataFrame, robots: DataFrame) -> DataFrame:
-    """Longest-prefix-wins robots filter (broadcast join on host).
+    """Longest-prefix-wins robots filter — shuffle-free.
 
     A candidate is allowed iff no rule matches its path, or the longest
     matching prefix rule has allow=true. Also attaches the host's
     crawl_delay_ms (max over rules, null if none).
+
+    Plan shape: the rule table is tiny (~hosts), so it is pre-aggregated to
+    one row per host (rule array + max delay) and broadcast; the longest
+    matching prefix is resolved per candidate with array expressions
+    (filter -> sort by prefix length desc -> head). The earlier window
+    formulation shuffled the full candidate set on canonical_url — at
+    10^10 URLs that is the difference between a map-side stage and a
+    terabyte shuffle.
     """
-    r = robots.select(
-        "host", "path_prefix", "allow", F.col("crawl_delay_ms").alias("__delay")
+    per_host = robots.groupBy("host").agg(
+        F.collect_list(
+            F.struct(F.col("path_prefix"), F.col("allow"))
+        ).alias("__rules"),
+        F.max("crawl_delay_ms").alias("crawl_delay_ms"),
     )
-    j = cand.join(F.broadcast(r), on="host", how="left")
-    match = F.col("path_prefix").isNotNull() & F.col("path").startswith(
-        F.col("path_prefix")
+    j = cand.join(F.broadcast(per_host), on="host", how="left")
+    matches = F.filter(
+        F.col("__rules"),
+        lambda r: F.col("path").startswith(r["path_prefix"]),
     )
-    scored = j.withColumn(
-        "__mlen", F.when(match, F.length("path_prefix")).otherwise(F.lit(-1))
+    # sort matched rules by (-prefix_len) so element 1 = longest prefix
+    best = F.element_at(
+        F.array_sort(
+            F.transform(
+                matches,
+                lambda r: F.struct(
+                    (-F.length(r["path_prefix"])).alias("neg_len"),
+                    r["allow"].alias("allow"),
+                ),
+            )
+        ),
+        1,
     )
-    w = Window.partitionBy("canonical_url").orderBy(F.col("__mlen").desc())
-    best = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .withColumn(
-            "allowed",
-            F.when(F.col("__mlen") < 0, F.lit(True)).otherwise(F.col("allow")),
-        )
+    allowed = (
+        F.col("__rules").isNull()
+        | (F.size(matches) == 0)
+        | best["allow"]
     )
-    delays = robots.groupBy("host").agg(
-        F.max("crawl_delay_ms").alias("crawl_delay_ms")
-    )
-    return (
-        best.filter(F.col("allowed"))
-        .select("canonical_url", "host", "path", "url_hash", "priority")
-        .join(F.broadcast(delays), on="host", how="left")
+    return j.filter(allowed).select(
+        "canonical_url", "host", "path", "url_hash", "priority",
+        "crawl_delay_ms",
     )
 
 
