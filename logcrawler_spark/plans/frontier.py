@@ -14,7 +14,7 @@ One round (SURVEY.md §7.2, reference lifecycle §3.3 re-targeted):
 Determinism (SURVEY.md §7.4.1): the crawl order is DEFINED as the sort key
 ``(round, host, -priority, canonical_url)`` — never partition arrival
 order — so the schedule is reproducible under any parallelism, and the
-pure-Python oracle simulator (tests/oracle_frontier.py) must match it
+pure-Python oracle simulator (logcrawler_spark/oracles/frontier_sim.py) must match it
 exactly.
 
 Scale shape per round: one shuffle for the dedup window (keyed by

@@ -271,11 +271,38 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
-@register("q_simhash_pairs")  # pandas-UDF kernel: rows-only driver check;
-# exact dual-implementation oracle in tests/test_dedup.py
+from logcrawler_spark.oracles import fixture_sql
+
+
+@register("q_simhash_pairs", fixture_sql("q_simhash_pairs"))
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (64-bit, 16-bit band blocking)."""
+    """SimHash near-dup pairs (64-bit, 16-bit band blocking).
+
+    Exact oracle: the pure-Python dual implementation
+    (``oracles/textsim.py`` — per-bit vote loops, no numpy) recomputes the
+    expected pair set from the raw parquet and materializes it as the
+    DuckDB fixture; the Spark side must match rows+schema+values."""
+    import pyarrow.parquet as pq
+
     from logcrawler_spark.operators.dedup import simhash_dup_pairs
+    from logcrawler_spark.oracles import write_fixture
+    from logcrawler_spark.oracles.textsim import simhash_pairs
+
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    expected = simhash_pairs(
+        list(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())),
+        max_hamming=16,
+        n=3,
+    )
+    write_fixture(
+        "q_simhash_pairs",
+        sf_dir,
+        pd.DataFrame(
+            expected, columns=["id_a", "id_b", "hamming"]
+        ).astype({"id_a": "int64", "id_b": "int64", "hamming": "int32"}),
+    )
 
     d = _t(spark, sf_dir, "documents")
     return simhash_dup_pairs(d, "text", "doc_id", max_hamming=16, n=3)
@@ -392,9 +419,51 @@ def q_ann_topk_lsh(spark, sf_dir):
     return cosine_topk_lsh(e, q, "embedding", "vec_id", "vec_id", k=5)
 
 
-@register("q_ann_topk_ivf")  # rows-only: centroid assignment is an
-# engine-internal artifact; invariants (self-match rank 1, cosine parity
-# with brute force) are pinned in tests/test_similarity.py
+@register(
+    "q_ann_topk_ivf",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cell_id, embedding AS cv,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS cn
+      FROM embeddings ORDER BY vec_id LIMIT 8),
+    base AS (
+      SELECT vec_id AS id, embedding AS v,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS vn
+      FROM embeddings),
+    asim AS (
+      SELECT b.id, b.v, b.vn, c.cell_id,
+             {_dot_sql('b.v', 'c.cv')} / (b.vn * c.cn) AS sim
+      FROM base b CROSS JOIN cents c),
+    assigned AS (
+      SELECT id, v, vn, cell_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY id
+                                     ORDER BY sim DESC, cell_id) AS rn
+        FROM asim) WHERE rn = 1),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS qn
+      FROM embeddings WHERE vec_id < 5),
+    qsim AS (
+      SELECT q.query_id, q.qv, q.qn, c.cell_id,
+             {_dot_sql('q.qv', 'c.cv')} / (q.qn * c.cn) AS sim
+      FROM q CROSS JOIN cents c),
+    probes AS (
+      SELECT query_id, qv, qn, cell_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, cell_id) AS rn
+        FROM qsim) WHERE rn <= 2),
+    scored AS (
+      SELECT p.query_id, a.id,
+             round({_dot_sql('a.v', 'p.qv')} / (a.vn * p.qn), 6) AS cosine
+      FROM assigned a JOIN probes p USING (cell_id)),
+    ranked AS (
+      SELECT query_id, id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, id) AS rank
+      FROM scored)
+    SELECT query_id, rank, id, cosine FROM ranked WHERE rank <= 5
+    """,
+)
 def q_ann_topk_ivf(spark, sf_dir):
     """IVF-partitioned approximate top-k — the partition-pruning scale
     path (probe n nearest cells only)."""
@@ -587,11 +656,18 @@ def q_surt_canonicalize(spark, sf_dir):
     )
 
 
-@register("q_crawl_round")  # full-pipeline op: no single SQL equivalent;
-# exactly matched against the pure-Python simulator in tests/
+@register("q_crawl_round", fixture_sql("q_crawl_round"))
 def q_crawl_round(spark, sf_dir):
-    """The flagship composed plan as a pack entry (rows-only driver check;
-    the exact-order oracle lives in tests/test_frontier_oracle.py)."""
+    """The flagship composed plan as a pack entry.
+
+    Exact oracle: the single-process pure-Python crawl simulator
+    (``oracles/frontier_sim.py`` — dicts/lists/regex, no Spark) replays the
+    same seed list, robots rules, and politeness budget and materializes the
+    expected schedule (round, host, url, priority, rank, slot) as the DuckDB
+    fixture. Crawl order is DEFINED as (round, host, -priority,
+    canonical_url), so the match is deterministic under any parallelism."""
+    from logcrawler_spark.oracles import write_fixture
+    from logcrawler_spark.oracles.frontier_sim import simulate_crawl
     from logcrawler_spark.plans.frontier import run_crawl
     from logcrawler_spark.sources.pages import (
         generate_pages,
@@ -602,6 +678,25 @@ def q_crawl_round(spark, sf_dir):
     pages = generate_pages(spark, sf_dir, n_hosts=50)
     seeds = generate_seeds(spark, sf_dir, n_hosts=50)
     robots = generate_robots_rules(spark, n_hosts=50)
+
+    sim = simulate_crawl(
+        pages.toPandas(), seeds.toPandas(), robots.toPandas(),
+        rounds=1, budget=5,
+    )
+    expected = pd.DataFrame(
+        sim.schedule,
+        columns=["round", "host", "priority", "canonical_url",
+                 "host_rank", "slot_ms"],
+    )[["round", "host", "canonical_url", "priority", "host_rank", "slot_ms"]]
+    write_fixture(
+        "q_crawl_round",
+        sf_dir,
+        expected.astype(
+            {"round": "int32", "priority": "float64",
+             "host_rank": "int32", "slot_ms": "int64"}
+        ),
+    )
+
     state = run_crawl(spark, pages, seeds, robots, rounds=1, budget=5)
     return state.schedule.select(
         "round", "host", "canonical_url", "priority", "host_rank", "slot_ms"

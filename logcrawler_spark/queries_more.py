@@ -267,16 +267,27 @@ def q_metadata_counts(spark, sf_dir):
     return out
 
 
-@register("q_binlog_scan")  # rows-only: the framed-log byte format has no
-# SQL analog; byte-level oracles live in tests/test_binlog.py
+from logcrawler_spark.oracles import fixture_sql
+
+
+@register("q_binlog_scan", fixture_sql("q_binlog_scan"))
 def q_binlog_scan(spark, sf_dir):
     """S2/S3: binary framed-log scan — a deterministic log file is
     synthesized from the documents table, parsed via binaryFile +
-    mapInPandas into (frame, name, extent) rows, grouped per frame."""
+    mapInPandas into (frame, name, extent) rows, grouped per frame.
+
+    Exact oracle: an independent struct.unpack-based parser
+    (``oracles/binlog_sim.py``) re-reads the same file's bytes and
+    materializes the expected (frame_number, n_fields) table as the
+    DuckDB fixture."""
     import os
     import struct
     import tempfile
 
+    import pandas as pd
+
+    from logcrawler_spark.oracles import write_fixture
+    from logcrawler_spark.oracles.binlog_sim import frame_field_counts
     from logcrawler_spark.sources.binlog import frames_of, read_framed_log
 
     docs = (
@@ -302,6 +313,15 @@ def q_binlog_scan(spark, sf_dir):
                         + body
                     )
         os.replace(path + ".tmp", path)
+    with open(path, "rb") as f:
+        expected = frame_field_counts(f.read())
+    write_fixture(
+        "q_binlog_scan",
+        sf_dir,
+        pd.DataFrame(
+            expected, columns=["frame_number", "n_fields"]
+        ).astype({"frame_number": "int32", "n_fields": "int32"}),
+    )
     frames = frames_of(read_framed_log(spark, path))
     return frames.select(
         "frame_number", F.size(F.map_keys("fields")).alias("n_fields")

@@ -16,7 +16,7 @@ from logcrawler_spark.sources.pages import (
     generate_seeds,
 )
 from tests.conftest import SF_SMOKE
-from tests.oracle_frontier import simulate_crawl
+from logcrawler_spark.oracles.frontier_sim import simulate_crawl
 
 N_HOSTS = 50
 ROUNDS = 3

@@ -11,7 +11,7 @@ from logcrawler_spark.functions.urls import (
     url_hash,
     url_host,
 )
-from tests import oracle_frontier as o
+from logcrawler_spark.oracles import frontier_sim as o
 
 CASES = [
     ("HTTP://WWW.Example.COM:80/a/b?z=1&a=2#frag", "http://www.example.com/a/b?a=2&z=1"),
