@@ -99,9 +99,17 @@ def simulate_crawl(
     budget: int = 8,
 ) -> SimResult:
     """pages/seeds/robots as pandas DataFrames (column names per FIXTURES.md)."""
+    # one page per canonical URL, keeping the max (warc_ts, url) row —
+    # matches plans.frontier.dedup_pages_lww (with unique canonicals, as in
+    # the generated corpus, this reduces to identity)
     page_by_canon = {}
+    page_key: dict[str, tuple] = {}
     for r in pages_pdf.itertuples():
-        page_by_canon[canonicalize(r.url)] = bytes(r.html)
+        c = canonicalize(r.url)
+        key = (r.warc_ts, r.url)
+        if c not in page_key or key > page_key[c]:
+            page_key[c] = key
+            page_by_canon[c] = bytes(r.html)
 
     rules = {}
     delays = {}
@@ -110,10 +118,13 @@ def simulate_crawl(
         delays[r.host] = max(delays.get(r.host, 0), int(r.crawl_delay_ms))
 
     def allowed(host: str, path: str) -> bool:
+        # longest matching prefix wins; equal lengths -> allow wins
+        # (RFC 9309 convention, pinned identically in plans/frontier.py)
         best = None
         for prefix, allow in rules.get(host, []):
             if path.startswith(prefix):
-                if best is None or len(prefix) > len(best[0]):
+                key = (len(prefix), allow)
+                if best is None or key > (len(best[0]), best[1]):
                     best = (prefix, allow)
         return True if best is None else best[1]
 

@@ -60,6 +60,26 @@ def _with_canonical(pages: DataFrame) -> DataFrame:
     return pages.withColumn("canonical_url", canonicalize_url(F.col("url")))
 
 
+def dedup_pages_lww(pages_c: DataFrame) -> DataFrame:
+    """One page per canonical_url, keeping the max (warc_ts, url) row.
+
+    Without this, pages sharing a canonical URL each match the fetch join —
+    inflating n_fetched and duplicating next-round outlink candidates. It is
+    an INGEST-time pass (one corpus shuffle per ingest, amortized over all
+    rounds, never per round); ``run_crawl``'s default input contract is
+    canonical-unique pages (true of the generated corpus and of any
+    CDX-deduplicated crawl archive), so the default is off.
+    """
+    w = Window.partitionBy("canonical_url").orderBy(
+        F.col("warc_ts").desc(), F.col("url").desc()
+    )
+    return (
+        pages_c.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def canonicalize_candidates(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Attach canonical_url / host / path / url_hash key columns."""
     u = F.col(url_col)
@@ -89,8 +109,11 @@ def apply_robots(cand: DataFrame, robots: DataFrame) -> DataFrame:
     """Longest-prefix-wins robots filter — shuffle-free.
 
     A candidate is allowed iff no rule matches its path, or the longest
-    matching prefix rule has allow=true. Also attaches the host's
-    crawl_delay_ms (max over rules, null if none).
+    matching prefix rule has allow=true; among equal-length matching
+    prefixes, allow wins (RFC 9309 §2.2.2 convention — pinned identically
+    in the pure-Python simulator and exercised by a same-length
+    allow/disallow fixture pair). Also attaches the host's crawl_delay_ms
+    (max over rules, null if none).
 
     Plan shape: the rule table is tiny (~hosts), so it is pre-aggregated to
     one row per host (rule array + max delay) and broadcast; the longest
@@ -111,13 +134,15 @@ def apply_robots(cand: DataFrame, robots: DataFrame) -> DataFrame:
         F.col("__rules"),
         lambda r: F.col("path").startswith(r["path_prefix"]),
     )
-    # sort matched rules by (-prefix_len) so element 1 = longest prefix
+    # sort matched rules by (-prefix_len, !allow) so element 1 = longest
+    # prefix, allow-wins on length ties (struct sort: false < true)
     best = F.element_at(
         F.array_sort(
             F.transform(
                 matches,
                 lambda r: F.struct(
                     (-F.length(r["path_prefix"])).alias("neg_len"),
+                    (~r["allow"]).alias("not_allow"),
                     r["allow"].alias("allow"),
                 ),
             )
@@ -317,6 +342,7 @@ def run_crawl(
     budget: int = 8,
     use_bloom: bool = True,
     catalog: Catalog | None = None,
+    dedup_pages: bool = False,
 ) -> CrawlState:
     """Run ``rounds`` crawl rounds from the seed list.
 
@@ -324,8 +350,14 @@ def run_crawl(
     round (snapshot isolation) — the resume path (`resume_crawl`) restarts
     from the last committed round. Reference analog: ``.images_extracted``
     markers + log_status reconciliation (``06:45-105``, SURVEY.md §2.9 T1).
+
+    Input contract: one page per canonical_url. Pass ``dedup_pages=True``
+    to enforce it at ingest (LWW on (warc_ts, url) — see
+    :func:`dedup_pages_lww`) when the corpus may contain recrawls.
     """
     pages_c = _with_canonical(pages)
+    if dedup_pages:
+        pages_c = dedup_pages_lww(pages_c)
     empty_seen = spark.createDataFrame(
         [], "url_hash long, canonical_url string, first_seen_round int"
     )

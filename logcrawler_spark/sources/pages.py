@@ -201,7 +201,10 @@ def generate_robots_rules(
 
     Every 5th host rank disallows ``/d13``; every 10th additionally
     re-allows the deeper ``/d13/p`` prefix (longest-prefix-wins semantics,
-    reference analog: folder exclusion rules ``01_input_game_data.py:88-93``).
+    reference analog: folder exclusion rules ``01_input_game_data.py:88-93``);
+    every 20th ALSO carries a same-length ``/d13`` allow rule — the
+    equal-length tie case, where allow wins (RFC 9309 convention, pinned in
+    both the Spark filter and the pure-Python simulator).
     """
     ranks = spark.range(1, n_hosts + 1).select(F.col("id").alias("rank"))
     tld = F.element_at(
@@ -225,4 +228,10 @@ def generate_robots_rules(
         F.lit(True).alias("allow"),
         F.lit(500).cast("long").alias("crawl_delay_ms"),
     )
-    return disallow.unionByName(reallow)
+    tie_allow = ranks.filter(F.pmod(F.col("rank"), F.lit(20)) == 0).select(
+        hostcol.alias("host"),
+        F.lit("/d13").alias("path_prefix"),
+        F.lit(True).alias("allow"),
+        F.lit(500).cast("long").alias("crawl_delay_ms"),
+    )
+    return disallow.unionByName(reallow).unionByName(tie_allow)

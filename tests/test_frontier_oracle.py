@@ -109,20 +109,123 @@ def test_extracted_text_byte_identical(crawl):
 
 
 def test_robots_disallow_enforced(crawl):
-    """No scheduled URL may hit a disallowed prefix without a deeper allow."""
+    """No scheduled URL may hit a disallowed prefix without a deeper allow.
+
+    Hosts with rank % 5 == 0 disallow /d13; rank % 20 == 0 ALSO carries a
+    same-length /d13 allow (tie -> allow wins), so those are exempt."""
     state, _, _ = crawl
+    rank = F.regexp_extract("host", r"(?:host|mega)(\d+)\.", 1).cast("int")
     viol = state.schedule.filter(
         F.col("path").startswith("/d13")
         & ~F.col("path").startswith("/d13/p")
-        # hosts with rank % 5 == 0 have the /d13 disallow rule
-        & F.regexp_extract("host", r"(?:host|mega)(\d+)\.", 1).cast("int")
-        .isNotNull()
-        & (
-            F.pmod(
-                F.regexp_extract("host", r"(?:host|mega)(\d+)\.", 1).cast("int"),
-                F.lit(5),
-            )
-            == 0
-        )
+        & rank.isNotNull()
+        & (F.pmod(rank, F.lit(5)) == 0)
+        & (F.pmod(rank, F.lit(20)) != 0)
     ).count()
     assert viol == 0
+
+
+def test_robots_equal_length_tie_allow_wins(spark):
+    """RFC 9309 tie rule: equal-length allow and disallow -> allow wins,
+    identically in the Spark filter and the pure-Python simulator."""
+    from logcrawler_spark.oracles import frontier_sim as sim
+    from logcrawler_spark.plans.frontier import apply_robots
+
+    import pandas as pd
+
+    robots_rows = [
+        ("h.example.com", "/tie", False, 100),
+        ("h.example.com", "/tie", True, 100),
+        ("h.example.com", "/deny", False, 100),
+    ]
+    robots = spark.createDataFrame(
+        robots_rows,
+        "host string, path_prefix string, allow boolean, crawl_delay_ms long",
+    )
+    cand = spark.createDataFrame(
+        [
+            ("http://h.example.com/tie/x", "h.example.com", "/tie/x", 1, 1.0),
+            ("http://h.example.com/deny/x", "h.example.com", "/deny/x", 2, 1.0),
+        ],
+        "canonical_url string, host string, path string, url_hash long,"
+        " priority double",
+    )
+    got = {r["path"] for r in apply_robots(cand, robots).collect()}
+    assert got == {"/tie/x"}
+
+    rpdf = pd.DataFrame(
+        robots_rows, columns=["host", "path_prefix", "allow", "crawl_delay_ms"]
+    )
+    res = sim.simulate_crawl(
+        pd.DataFrame(columns=["url", "warc_ts", "html"]),
+        pd.DataFrame(
+            [("http://h.example.com/tie/x", 1.0),
+             ("http://h.example.com/deny/x", 2.0)],
+            columns=["url", "priority"],
+        ),
+        rpdf,
+        rounds=1,
+        budget=5,
+    )
+    assert [t[3] for t in res.schedule] == ["http://h.example.com/tie/x"]
+
+
+def test_duplicate_canonical_pages_lww(spark):
+    """dedup_pages=True: recrawled canonicals collapse to the max
+    (warc_ts, url) page in both engine and simulator (single fetch, single
+    outlink expansion)."""
+    import pandas as pd
+
+    from logcrawler_spark.oracles.frontier_sim import simulate_crawl
+    from logcrawler_spark.plans.frontier import run_crawl
+
+    def html(text, href):
+        return f'<p>{text}</p><a href="{href}">x</a>'.encode()
+
+    pages_rows = [
+        # same canonical (default port trap) — later warc_ts must win
+        ("http://a.example.com/p1", "2024-01-01 00:00:00",
+         html("old body", "/old-link")),
+        ("http://a.example.com:80/p1", "2024-01-02 00:00:00",
+         html("new body", "/new-link")),
+        ("http://a.example.com/old-link", "2024-01-01 00:00:00",
+         html("old target", "/x")),
+        ("http://a.example.com/new-link", "2024-01-01 00:00:00",
+         html("new target", "/y")),
+    ]
+    from datetime import datetime
+
+    pages = spark.createDataFrame(
+        [(u, datetime.fromisoformat(t), h) for u, t, h in pages_rows],
+        "url string, warc_ts timestamp, html binary",
+    )
+    seeds = spark.createDataFrame(
+        [("http://a.example.com/p1", 5.0)], "url string, priority double"
+    )
+    robots = spark.createDataFrame(
+        [], "host string, path_prefix string, allow boolean,"
+        " crawl_delay_ms long",
+    )
+    state = run_crawl(
+        spark, pages, seeds, robots, rounds=2, budget=5, dedup_pages=True
+    )
+    got = sorted(
+        (r["round"], r["canonical_url"]) for r in state.schedule.collect()
+    )
+    sim = simulate_crawl(
+        pd.DataFrame(
+            [(u, pd.Timestamp(t), h) for u, t, h in pages_rows],
+            columns=["url", "warc_ts", "html"],
+        ),
+        pd.DataFrame([("http://a.example.com/p1", 5.0)],
+                     columns=["url", "priority"]),
+        pd.DataFrame(columns=["host", "path_prefix", "allow",
+                              "crawl_delay_ms"]),
+        rounds=2,
+        budget=5,
+    )
+    want = sorted((t[0], t[3]) for t in sim.schedule)
+    assert got == want
+    # round 2 follows the NEW link only
+    assert ("http://a.example.com/new-link" in [c for _r, c in got])
+    assert ("http://a.example.com/old-link" not in [c for _r, c in got])
