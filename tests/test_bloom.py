@@ -85,3 +85,81 @@ def test_bloom_fp_rate_bounded(spark):
         fp += int(bits[pos].all(axis=1).sum())
     # ~312 keys per bucket in 65536 bits -> theoretical fp ~ 1e-6; allow slack
     assert fp / len(hashes) < 0.01
+
+
+def test_merge_equals_full_rebuild_byte_identical(spark):
+    """OR-merging a delta bloom == building over the union, byte for byte
+    (set union of Bloom filters is bitwise OR of their arrays)."""
+    from logcrawler_spark.plans.bloom import merge_bloom_tables
+
+    part1 = _keyed(spark, 0, 1500)
+    part2 = _keyed(spark, 1500, 2600)
+    merged = {
+        r["bucket"]: (bytes(r["bloom"]), r["n_items"])
+        for r in merge_bloom_tables(
+            build_bloom_table(part1, n_buckets=16),
+            build_bloom_table(part2, n_buckets=16),
+        ).collect()
+    }
+    full = {
+        r["bucket"]: (bytes(r["bloom"]), r["n_items"])
+        for r in build_bloom_table(
+            part1.unionByName(part2), n_buckets=16
+        ).collect()
+    }
+    assert set(merged) == set(full)
+    for b in full:
+        assert merged[b][0] == full[b][0], f"bucket {b} bitmaps differ"
+        assert merged[b][1] == full[b][1]
+
+
+def test_merge_with_none_base_returns_delta(spark):
+    from logcrawler_spark.plans.bloom import merge_bloom_tables
+
+    delta = build_bloom_table(_keyed(spark, 0, 100), n_buckets=16)
+    assert merge_bloom_tables(None, delta) is delta
+
+
+def test_crawl_bloom_built_from_delta_only(spark):
+    """The crawl loop must never rebuild the bloom from the full url_seen:
+    every per-round build input is exactly that round's scheduled batch."""
+    import logcrawler_spark.plans.frontier as fr
+    from logcrawler_spark.plans.bloom import build_bloom_table as real_build
+    from logcrawler_spark.sources.pages import (
+        generate_pages,
+        generate_robots_rules,
+        generate_seeds,
+    )
+
+    calls: list[int] = []
+
+    def spy(df, **kw):
+        calls.append(df.count())
+        return real_build(df, **kw)
+
+    orig = fr.build_bloom_table
+    fr.build_bloom_table = spy
+    try:
+        state = fr.run_crawl(
+            spark,
+            generate_pages(spark, "/root/testdata/sf0.001", 50),
+            generate_seeds(spark, "/root/testdata/sf0.001", 50),
+            generate_robots_rules(spark, n_hosts=50),
+            rounds=3,
+            budget=5,
+            use_bloom=True,
+        )
+    finally:
+        fr.build_bloom_table = orig
+
+    per_round = [
+        r["n"]
+        for r in state.schedule.groupBy("round")
+        .agg(F.count("*").alias("n"))
+        .orderBy("round")
+        .collect()
+    ]
+    assert calls == per_round, (calls, per_round)
+    # standing table covers all of url_seen (insertion-count invariant)
+    n_items = sum(r["n_items"] for r in state.blooms.collect())
+    assert n_items == state.url_seen.count() == sum(per_round)
