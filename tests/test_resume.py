@@ -50,3 +50,63 @@ def test_resume_equals_straight_run(spark, tmp_path):
     }
     # catalog state equals in-memory state (committed each round)
     assert sched_key(cat.read("schedule")) == sched_key(full.schedule)
+
+
+def test_commits_are_per_round_deltas(spark, tmp_path):
+    """Each round's url_seen/schedule commit is O(round delta): the manifest
+    gains exactly one tagged data dir per round, and each dir holds only
+    that round's rows (VERDICT r01: append, don't rewrite)."""
+    pages = generate_pages(spark, SF_SMOKE, n_hosts=N_HOSTS)
+    seeds = generate_seeds(spark, SF_SMOKE, n_hosts=N_HOSTS)
+    robots = generate_robots_rules(spark, n_hosts=N_HOSTS)
+    cat = Catalog(spark, str(tmp_path))
+    state = run_crawl(
+        spark, pages, seeds, robots, rounds=3, budget=BUDGET, catalog=cat
+    )
+
+    entries = cat._read_manifest("url_seen")
+    assert [t for _n, t in entries] == [1, 2, 3]
+    per_round = {
+        r["first_seen_round"]: r["n"]
+        for r in state.url_seen.groupBy("first_seen_round")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for name, tag in entries:
+        n_dir = spark.read.parquet(
+            str(tmp_path / "url_seen" / name)
+        ).count()
+        assert n_dir == per_round[tag], (name, tag, n_dir, per_round)
+    assert cat.read("url_seen").count() == sum(per_round.values())
+
+
+def test_resume_ignores_and_replaces_crashed_partial_commit(spark, tmp_path):
+    """Crash AFTER round-2 appends but BEFORE the round-2 marker: resume
+    from marker=1 must ignore the orphan round-2 rows, and the re-run's
+    tagged append must replace (not duplicate) them."""
+    pages = generate_pages(spark, SF_SMOKE, n_hosts=N_HOSTS)
+    seeds = generate_seeds(spark, SF_SMOKE, n_hosts=N_HOSTS)
+    robots = generate_robots_rules(spark, n_hosts=N_HOSTS)
+
+    full = run_crawl(spark, pages, seeds, robots, rounds=2, budget=BUDGET)
+
+    cat = Catalog(spark, str(tmp_path))
+    run_crawl(spark, pages, seeds, robots, rounds=1, budget=BUDGET, catalog=cat)
+    # simulate the crashed round-2 attempt: partial (even corrupt) appends
+    # are committed for round 2, but the marker still says 1
+    bogus = spark.createDataFrame(
+        [(12345, "http://bogus.example.com/x", 2)],
+        "url_hash long, canonical_url string, first_seen_round int",
+    )
+    cat.append("url_seen", bogus, tag=2)
+    resumed = resume_crawl(
+        spark, pages, robots, cat, total_rounds=2, budget=BUDGET
+    )
+
+    got = {r["canonical_url"] for r in resumed.url_seen.collect()}
+    want = {r["canonical_url"] for r in full.url_seen.collect()}
+    assert got == want
+    # catalog too: bogus round-2 rows replaced by the re-run's append
+    cat_urls = {r["canonical_url"] for r in cat.read("url_seen").collect()}
+    assert cat_urls == want
+    assert "http://bogus.example.com/x" not in cat_urls
