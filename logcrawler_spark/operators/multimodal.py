@@ -1,27 +1,145 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads, typed metadata, and REAL
+numpy image kernels (YUV422->RGB decode + brightness/blur stats).
 
 Design (training-data-pipeline extension): image/audio/video travel as
 ``binary`` columns next to typed metadata structs; decode / feature-extract
 / resize / frame-sample are Arrow-batched ``mapInPandas`` kernels so one
-Python invocation handles ~10k payloads and the shuffle plan never sees
+Python invocation handles a whole batch and the shuffle plan never sees
 decoded data (decode late, after filters prune).
 
-The actual codec calls are STUBBED — PIL/ffmpeg are not in this image — as
-clearly-marked ``NotImplementedError`` raises plus a deterministic fake
-decoder that keeps the Spark-side contract (schema, batch shape,
-partitioning) real and testable. Reference analog for the kernel style:
-the vectorized YUV->RGB decode (``06_extract_images.py:207-229``) and the
-per-image stats kernel (``13_calculate_image_stats.py:32-35,86-96``).
+Real kernels (pure numpy — no PIL/opencv needed):
+
+- :func:`decode_yuv422_rgb` — the reference's raw camera format: YUYV byte
+  stream split into Y/U/V channel views by stride slicing
+  (``06_extract_images.py:207-229``: y=0::2, u=1::4, v=3::4), chroma
+  doubled horizontally, then integer fixed-point BT.601 full-range
+  YCbCr->RGB (public ITU-R constants; deterministic on every platform,
+  byte-exact against the pure-Python oracle in ``oracles/imagesim.py``).
+- :func:`luma_stats` — the reference's per-image quality stats
+  (``13_calculate_image_stats.py:32-35,86-96``): brightness = mean of the
+  grayscale (here the Y plane, which IS the luma), blurredness = variance
+  of the 3x3 Laplacian (kernel [[0,1,0],[1,-4,1],[0,1,0]], interior
+  pixels). All moments are exact int64 sums; the float outputs derive from
+  them by one fixed formula, so two engines agree bit-for-bit.
+
+Container-codec calls (JPEG/ffmpeg) remain STUBBED — those libs are not in
+this image — as clearly-marked ``NotImplementedError`` raises plus a
+deterministic fake decoder that keeps the Spark-side contract (schema,
+batch shape, partitioning) real and testable.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
 META_SCHEMA = "doc_id long, n_bytes long, width int, height int, fmt string"
+
+# BT.601 full-range YCbCr->RGB, 16.16 fixed point (round half up via +2^15)
+_C_RV = 91881  # round(1.402 * 65536)
+_C_GU = 22554  # round(0.344136 * 65536)
+_C_GV = 46802  # round(0.714136 * 65536)
+_C_BU = 116130  # round(1.772 * 65536)
+
+
+def decode_yuv422_rgb(payload: bytes, width: int, height: int) -> np.ndarray:
+    """YUV422 (YUYV: Y0 U Y1 V) bytes -> (height, width, 3) uint8 RGB.
+
+    Channel split mirrors the reference's stride views
+    (``06_extract_images.py:207-229``); the YCbCr->RGB step is integer
+    fixed-point so the result is platform-independent and byte-exact
+    against the per-pixel Python oracle.
+    """
+    yuv = np.frombuffer(payload, dtype=np.uint8)
+    if yuv.size != width * height * 2:
+        raise ValueError(
+            f"payload is {yuv.size} bytes, expected {width * height * 2}"
+        )
+    y = yuv[0::2].astype(np.int64).reshape(height, width)
+    u = np.repeat(yuv[1::4].astype(np.int64), 2).reshape(height, width)
+    v = np.repeat(yuv[3::4].astype(np.int64), 2).reshape(height, width)
+    du, dv = u - 128, v - 128
+    r = (65536 * y + _C_RV * dv + 32768) >> 16
+    g = (65536 * y - _C_GU * du - _C_GV * dv + 32768) >> 16
+    b = (65536 * y + _C_BU * du + 32768) >> 16
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def luma_stats(y: np.ndarray) -> dict:
+    """Exact integer moments + derived floats for one grayscale plane.
+
+    brightness = mean(Y); blur_var = population variance of the 3x3
+    Laplacian over interior pixels (cv2.Laplacian analog,
+    ``13_calculate_image_stats.py:32-35``). The divisions are the ONLY
+    float ops and both engines compute them from the same int64 moments.
+    """
+    y = y.astype(np.int64)
+    n_pix = int(y.size)
+    sum_y = int(y.sum())
+    lap = (
+        y[:-2, 1:-1] + y[2:, 1:-1] + y[1:-1, :-2] + y[1:-1, 2:]
+        - 4 * y[1:-1, 1:-1]
+    )
+    n_lap = int(lap.size)
+    sum_lap = int(lap.sum())
+    sum_lap_sq = int((lap * lap).sum())
+    mean_lap = sum_lap / n_lap
+    return {
+        "n_pix": n_pix,
+        "sum_y": sum_y,
+        "sum_lap": sum_lap,
+        "sum_lap_sq": sum_lap_sq,
+        "brightness": sum_y / n_pix,
+        "blur_var": sum_lap_sq / n_lap - mean_lap * mean_lap,
+    }
+
+
+IMAGE_STATS_SCHEMA = (
+    "frame_number long, camera string, width int, height int, n_pix long, "
+    "sum_y long, sum_lap long, sum_lap_sq long, brightness double, "
+    "blur_var double"
+)
+
+
+def image_stats(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(frame_number, camera, payload) -> per-image luma stats.
+
+    Arrow-batched mapInPandas: one Python call per batch, numpy per image;
+    decoded planes never leave the executor. X3/X5 analog of the
+    reference's image-stats pass, minus its per-image REST round trip.
+    """
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fn, cam, payload in zip(
+                pdf["frame_number"], pdf["camera"], pdf[payload_col]
+            ):
+                yuv = np.frombuffer(bytes(payload), dtype=np.uint8)
+                y = yuv[0::2].astype(np.int64).reshape(height, width)
+                st = luma_stats(y)
+                rows.append(
+                    {
+                        "frame_number": int(fn),
+                        "camera": cam,
+                        "width": width,
+                        "height": height,
+                        **st,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("frame_number", "camera", payload_col).mapInPandas(
+        _stats, schema=IMAGE_STATS_SCHEMA
+    )
 
 
 def real_image_decode(payload: bytes):  # pragma: no cover - stub

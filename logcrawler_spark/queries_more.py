@@ -328,6 +328,73 @@ def q_binlog_scan(spark, sf_dir):
     )
 
 
+@register("q_image_stats", fixture_sql("q_image_stats"))
+def q_image_stats(spark, sf_dir):
+    """X3/X5 real-kernel pass: fixed-stride image log -> payload slices ->
+    numpy YUV luma stats (brightness + variance-of-Laplacian blur), the
+    reference's image-stats lifecycle (``13_calculate_image_stats.py:
+    32-35,86-96``) as one Spark plan.
+
+    Exact oracle: an independent per-pixel pure-Python walk over the same
+    file bytes (``oracles/imagesim.py``) materializes the expected stats
+    as the DuckDB fixture — int64 moments are exact; the two float columns
+    derive from them by the same IEEE formula on both sides."""
+    import os
+    import struct
+    import tempfile
+
+    import pandas as pd
+
+    from logcrawler_spark.operators.multimodal import image_stats
+    from logcrawler_spark.oracles import write_fixture
+    from logcrawler_spark.oracles.imagesim import stride_log_stats_py
+    from logcrawler_spark.sources.binlog import read_stride_log, slice_payload
+
+    width, height = 16, 8
+    stride = width * height * 2  # YUV422: 2 bytes/pixel
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+        .collect()
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"imglog_q_{os.path.basename(sf_dir)}.log"
+    )
+    if not os.path.exists(path):
+        with open(path + ".tmp", "wb") as f:
+            for r in sorted(docs, key=lambda r: r["doc_id"]):
+                t = (r["text"] or "x").encode() or b"x"
+                payload = bytes(
+                    (t[i % len(t)] * 31 + i * 7 + r["doc_id"]) & 0xFF
+                    for i in range(stride)
+                )
+                f.write(struct.pack("<I", r["doc_id"]) + payload)
+        os.replace(path + ".tmp", path)
+
+    with open(path, "rb") as f:
+        expected = stride_log_stats_py(f.read(), stride, width, height)
+    write_fixture(
+        "q_image_stats",
+        sf_dir,
+        pd.DataFrame(expected).astype(
+            {
+                "frame_number": "int64",
+                "width": "int32",
+                "height": "int32",
+                "n_pix": "int64",
+                "sum_y": "int64",
+                "sum_lap": "int64",
+                "sum_lap_sq": "int64",
+            }
+        ),
+    )
+
+    extents = read_stride_log(spark, path, stride, first_is_top=True)
+    payloads = slice_payload(extents, spark)
+    return image_stats(payloads, width=width, height=height)
+
+
 @register(
     "q_map_ops",
     """
