@@ -328,6 +328,99 @@ def q_binlog_scan(spark, sf_dir):
     )
 
 
+@register("q_binlog_decode", fixture_sql("q_binlog_decode"))
+def q_binlog_decode(spark, sf_dir):
+    """S2->C9 lifecycle: framed-log payloads decoded into canonical-JSON
+    representation documents via the name->schema registry
+    (``sources/payload_codec.py`` — Parser.parse + MessageToDict analog,
+    ``07_input_cognition_data_rust.py:132-145``; alias registration per
+    ``06_extract_images.py:369-370``). 'Unknown' records decode to NULL
+    (T3 policy) and the Scores 'debug' field is redacted.
+
+    Exact oracle: an independent slice-based decoder over the raw file
+    bytes (``oracles/binlog_sim.decode_framed_payloads_py``) writes the
+    expected rows as the DuckDB fixture."""
+    import os
+    import struct
+    import tempfile
+
+    import pandas as pd
+
+    from logcrawler_spark.oracles import write_fixture
+    from logcrawler_spark.oracles.binlog_sim import decode_framed_payloads_py
+    from logcrawler_spark.sources.binlog import read_framed_log, slice_payload
+    from logcrawler_spark.sources.payload_codec import (
+        decode_payloads,
+        encode_payload,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text", "lang")
+        .collect()
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"replog_q_{os.path.basename(sf_dir)}.log"
+    )
+    if not os.path.exists(path):
+        with open(path + ".tmp", "wb") as f:
+            for r in sorted(docs, key=lambda r: r["doc_id"]):
+                i = r["doc_id"]
+                recs = [
+                    (
+                        "DocMeta",
+                        encode_payload(
+                            "DocMeta",
+                            {
+                                "doc_id": i,
+                                "n_chars": len(r["text"] or ""),
+                                "lang": r["lang"] or "",
+                            },
+                        ),
+                    ),
+                    (
+                        "ScoresTop",  # alias -> Scores schema
+                        encode_payload(
+                            "ScoresTop",
+                            {
+                                "doc_id": i,
+                                "score": (i * 7 % 100) / 4.0,
+                                # multiples of 0.25: exact in f32 AND f64
+                                "weights": [
+                                    (i + j) % 8 / 4.0 for j in range(4)
+                                ],
+                                "debug": f"trace-{i}",
+                            },
+                        ),
+                    ),
+                    ("Unknown", b"\x01\x02\x03"),  # unregistered -> NULL
+                ]
+                for name, payload in recs:
+                    f.write(
+                        struct.pack("<i", i)
+                        + name.encode()
+                        + b"\x00"
+                        + struct.pack("<i", len(payload))
+                        + payload
+                    )
+        os.replace(path + ".tmp", path)
+
+    with open(path, "rb") as f:
+        expected = decode_framed_payloads_py(f.read())
+    write_fixture(
+        "q_binlog_decode",
+        sf_dir,
+        pd.DataFrame(
+            expected, columns=["frame_number", "name", "repr_json"]
+        ).astype({"frame_number": "int32"}),
+    )
+
+    extents = read_framed_log(spark, path)
+    payloads = slice_payload(extents, spark)
+    return decode_payloads(payloads)
+
+
 @register("q_image_stats", fixture_sql("q_image_stats"))
 def q_image_stats(spark, sf_dir):
     """X3/X5 real-kernel pass: fixed-stride image log -> payload slices ->

@@ -112,3 +112,57 @@ def test_stride_log_first_is_bottom(spark, tmp_path):
         key=lambda r: r["record_index"],
     )
     assert [r["camera"] for r in rows] == ["Bottom", "Top"]
+
+
+def test_payload_codec_roundtrip_alias_and_redaction():
+    from logcrawler_spark.sources.payload_codec import (
+        decode_payload_dict,
+        encode_payload,
+        resolve_schema,
+        to_canonical_json,
+    )
+
+    vals = {
+        "doc_id": -7,
+        "score": 3.25,
+        "weights": [0.5, 1.25, 2.0],
+        "debug": "hidden",
+    }
+    payload = encode_payload("ScoresTop", vals)  # alias -> Scores schema
+    assert resolve_schema("ScoresTop") == resolve_schema("Scores")
+    got = decode_payload_dict("ScoresTop", payload)
+    assert got == {"doc_id": -7, "score": 3.25, "weights": [0.5, 1.25, 2.0]}
+    assert "debug" not in got  # redacted (BallCandidates patches analog)
+    assert decode_payload_dict("NoSuchRepr", b"\x00") is None
+    assert to_canonical_json(got) == (
+        '{"doc_id":-7,"score":3.25,"weights":[0.5,1.25,2.0]}'
+    )
+
+
+def test_decode_payloads_spark_matches_independent_oracle(spark, tmp_path):
+    from logcrawler_spark.oracles.binlog_sim import decode_framed_payloads_py
+    from logcrawler_spark.sources.binlog import read_framed_log, slice_payload
+    from logcrawler_spark.sources.payload_codec import (
+        decode_payloads,
+        encode_payload,
+    )
+
+    p = str(tmp_path / "repr.log")
+    blob = b""
+    for i in range(5):
+        pl = encode_payload(
+            "DocMeta", {"doc_id": i, "n_chars": i * 3, "lang": "en"}
+        )
+        blob += _framed_record(i, "DocMeta", pl)
+        blob += _framed_record(i, "Mystery", b"\xff")
+    with open(p, "wb") as f:
+        f.write(blob)
+    got = {
+        (r["frame_number"], r["name"]): r["repr_json"]
+        for r in decode_payloads(
+            slice_payload(read_framed_log(spark, p), spark)
+        ).collect()
+    }
+    want = {(fn, nm): js for fn, nm, js in decode_framed_payloads_py(blob)}
+    assert got == want
+    assert got[(2, "Mystery")] is None
