@@ -328,6 +328,55 @@ def q_binlog_scan(spark, sf_dir):
     )
 
 
+@register("q_tree_flatten", fixture_sql("q_tree_flatten"))
+def q_tree_flatten(spark, sf_dir):
+    """X6 recursive flattener: deterministic option trees (JSON) -> one row
+    per option node at ANY depth, non-option subtrees pruned
+    (``10_input_behavior_frames.py:64-93`` re-targeted).
+
+    Exact oracle: the plain-recursive pure-Python walk
+    (``oracles/treesim.flatten_tree_py``) over the same JSON writes the
+    expected rows as the DuckDB fixture; the engine uses an iterative
+    stack kernel — two traversals, one row set."""
+    import json
+
+    import pandas as pd
+
+    from logcrawler_spark.operators.flatten import flatten_tree
+    from logcrawler_spark.oracles import write_fixture
+    from logcrawler_spark.oracles.treesim import flatten_tree_py, make_tree
+
+    ids = [
+        r["doc_id"]
+        for r in _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 80)
+        .select("doc_id")
+        .collect()
+    ]
+    trees = {i: make_tree(i) for i in sorted(ids)}
+
+    expected = [
+        row for i, t in trees.items() for row in flatten_tree_py(i, t)
+    ]
+    write_fixture(
+        "q_tree_flatten",
+        sf_dir,
+        pd.DataFrame(
+            expected,
+            columns=["doc_id", "node_id", "parent_id", "depth", "path",
+                     "state"],
+        ).astype({"depth": "int32", "parent_id": "float64"}).astype(
+            {"parent_id": "Int64"}
+        ),
+    )
+
+    inp = spark.createDataFrame(
+        [(i, json.dumps(t)) for i, t in trees.items()],
+        "doc_id long, tree_json string",
+    )
+    return flatten_tree(inp)
+
+
 @register("q_binlog_decode", fixture_sql("q_binlog_decode"))
 def q_binlog_decode(spark, sf_dir):
     """S2->C9 lifecycle: framed-log payloads decoded into canonical-JSON

@@ -173,3 +173,28 @@ def test_pending_work(spark):
     exp = spark.createDataFrame([(1,), (2,), (3,)], "k long")
     done = spark.createDataFrame([(2,)], "k long")
     assert {r["k"] for r in pending_work(exp, done, ["k"]).collect()} == {1, 3}
+
+
+def test_flatten_tree_deep_chain_and_pruning(spark):
+    """Iterative kernel handles depth far beyond Python's recursion limit;
+    non-option subtrees are pruned whole."""
+    from logcrawler_spark.operators.flatten import flatten_tree
+
+    depth = 5000
+    # build the JSON iteratively (json.dumps would recurse): a chain of
+    # option nodes 0..depth; the deepest holds a pruned non-option subtree
+    opens = "".join(
+        '{"id":%d,"state":%d,"type":"option","children":[' % (d, d % 5)
+        for d in range(depth + 1)
+    )
+    pruned = (
+        '{"id":999999,"state":1,"type":"assign","children":'
+        '[{"id":888888,"state":2,"type":"option","children":[]}]}'
+    )
+    js = opens + pruned + "]}" * (depth + 1)
+    inp = spark.createDataFrame([(1, js)], "doc_id long, tree_json string")
+    rows = flatten_tree(inp).collect()
+    ids = {r["node_id"] for r in rows}
+    assert len(rows) == depth + 1
+    assert max(r["depth"] for r in rows) == depth
+    assert 999999 not in ids and 888888 not in ids
