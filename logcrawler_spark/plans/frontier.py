@@ -228,8 +228,15 @@ def crawl_round(
     budget: int,
     use_bloom: bool = True,
     bloom_buckets: int = 32,
+    failure_rate_pct: int = 0,
+    max_fetch_attempts: int = 3,
 ) -> CrawlState:
-    """Advance one round. ``pages_c`` = pages with canonical_url attached."""
+    """Advance one round. ``pages_c`` = pages with canonical_url attached.
+
+    ``failure_rate_pct`` > 0 turns on the S6 transient-failure simulation:
+    each fetch attempt fails deterministically with that percent chance
+    (hash of url x attempt), retried up to ``max_fetch_attempts``; retry
+    and permanent-failure counts land in the metrics table."""
     from pyspark.sql import Observation
 
     rnd = state.round_no + 1
@@ -280,6 +287,32 @@ def crawl_round(
         on="canonical_url",
         how="inner",
     )
+    # S6 retry/failover simulation (reference: dual-fileserver failover +
+    # raise_for_status, 13_calculate_image_stats.py:11-29,79-84): attempt a
+    # of a url transiently fails iff hash(url, a) lands under the failure
+    # rate; the first surviving attempt wins, bounded by max_fetch_attempts.
+    # Pure column expressions — deterministic, re-runnable, no Python.
+    n_retries = n_failures = 0
+    if failure_rate_pct > 0:
+        ok_attempts = F.filter(
+            F.sequence(F.lit(1), F.lit(max_fetch_attempts)),
+            lambda a: F.pmod(
+                F.xxhash64(F.col("canonical_url"), a), F.lit(100)
+            )
+            >= failure_rate_pct,
+        )
+        obs_att = Observation(f"attempts_{rnd}")
+        fetched = fetched.withColumn(
+            # try_: an empty array (all attempts failed) must yield NULL
+            "__first_ok", F.try_element_at(ok_attempts, F.lit(1))
+        ).observe(
+            obs_att,
+            F.coalesce(
+                F.sum(F.col("__first_ok") - 1), F.lit(0)
+            ).alias("retries"),
+            F.count_if(F.col("__first_ok").isNull()).alias("failures"),
+        )
+        fetched = fetched.filter(F.col("__first_ok").isNotNull())
     obs = Observation(f"round_{rnd}")
     enriched = fetched.select(
         "canonical_url",
@@ -304,6 +337,10 @@ def crawl_round(
     got = obs.get
     n_fetched = int(got["n_fetched"])
     bytes_extracted = int(got["bytes_extracted"])
+    if failure_rate_pct > 0:
+        att_got = obs_att.get  # same job as obs — no extra pass
+        n_retries = int(att_got["retries"])
+        n_failures = int(att_got["failures"])
 
     # url_seen is append-only: the round's delta rides the ALREADY
     # materialized sched parquet (a lazy projection), so the union is a
@@ -338,6 +375,8 @@ def crawl_round(
         .withColumn("urls_candidates_total", F.lit(n_cand))
         .withColumn("pages_fetched_total", F.lit(n_fetched))
         .withColumn("bytes_extracted_total", F.lit(bytes_extracted))
+        .withColumn("fetch_retries_total", F.lit(n_retries))
+        .withColumn("fetch_failures_total", F.lit(n_failures))
     )
     metrics = (
         round_metrics
@@ -372,6 +411,8 @@ def run_crawl(
     use_bloom: bool = True,
     catalog: Catalog | None = None,
     dedup_pages: bool = False,
+    failure_rate_pct: int = 0,
+    max_fetch_attempts: int = 3,
 ) -> CrawlState:
     """Run ``rounds`` crawl rounds from the seed list.
 
@@ -392,7 +433,11 @@ def run_crawl(
     )
     state = CrawlState(url_seen=empty_seen, candidates=seeds)
     for _ in range(rounds):
-        state = crawl_round(state, pages_c, robots, budget, use_bloom)
+        state = crawl_round(
+            state, pages_c, robots, budget, use_bloom,
+            failure_rate_pct=failure_rate_pct,
+            max_fetch_attempts=max_fetch_attempts,
+        )
         if catalog is not None:
             _commit_round(spark, catalog, state)
     return state

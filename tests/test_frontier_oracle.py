@@ -229,3 +229,59 @@ def test_duplicate_canonical_pages_lww(spark):
     # round 2 follows the NEW link only
     assert ("http://a.example.com/new-link" in [c for _r, c in got])
     assert ("http://a.example.com/old-link" not in [c for _r, c in got])
+
+
+def test_fetch_retry_failover_preserves_schedule(spark):
+    """S6: with transient failures + enough bounded retries, the final
+    schedule is identical to the no-failure run, and the retry/failure
+    counters land in metrics."""
+    from logcrawler_spark.plans.frontier import run_crawl
+
+    pages = generate_pages(spark, SF_SMOKE, n_hosts=N_HOSTS)
+    seeds = generate_seeds(spark, SF_SMOKE, n_hosts=N_HOSTS)
+    robots = generate_robots_rules(spark, n_hosts=N_HOSTS)
+
+    def key(state):
+        return sorted(
+            (r["round"], r["canonical_url"], r["host_rank"])
+            for r in state.schedule.collect()
+        )
+
+    clean = run_crawl(spark, pages, seeds, robots, rounds=2, budget=BUDGET)
+    flaky = run_crawl(
+        spark, pages, seeds, robots, rounds=2, budget=BUDGET,
+        failure_rate_pct=25, max_fetch_attempts=12,
+    )
+    assert key(flaky) == key(clean)
+    m = flaky.metrics.select(
+        "round", "fetch_retries_total", "fetch_failures_total"
+    ).distinct().collect()
+    retries = {r["round"]: r["fetch_retries_total"] for r in m}
+    failures = {r["round"]: r["fetch_failures_total"] for r in m}
+    assert sum(retries.values()) > 0  # failures actually injected
+    assert all(v == 0 for v in failures.values())  # 12 attempts: none stuck
+    clean_m = clean.metrics.select("fetch_retries_total").distinct().collect()
+    assert all(r["fetch_retries_total"] == 0 for r in clean_m)
+
+
+def test_fetch_permanent_failures_drop_pages_and_are_counted(spark):
+    """With a single attempt, ~failure_rate of pages fail permanently: they
+    are not fetched (no outlinks) and the failure counter records them."""
+    from logcrawler_spark.plans.frontier import run_crawl
+
+    pages = generate_pages(spark, SF_SMOKE, n_hosts=N_HOSTS)
+    seeds = generate_seeds(spark, SF_SMOKE, n_hosts=N_HOSTS)
+    robots = generate_robots_rules(spark, n_hosts=N_HOSTS)
+    st = run_crawl(
+        spark, pages, seeds, robots, rounds=1, budget=BUDGET,
+        failure_rate_pct=40, max_fetch_attempts=1,
+    )
+    row = st.metrics.select(
+        "pages_fetched_total", "fetch_failures_total"
+    ).distinct().collect()[0]
+    assert row["fetch_failures_total"] > 0
+    clean = run_crawl(spark, pages, seeds, robots, rounds=1, budget=BUDGET)
+    n_clean = clean.metrics.select("pages_fetched_total").distinct().collect()[
+        0
+    ]["pages_fetched_total"]
+    assert row["pages_fetched_total"] + row["fetch_failures_total"] == n_clean
