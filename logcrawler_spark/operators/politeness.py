@@ -39,7 +39,11 @@ def politeness_budget(
     order = order or [F.col(ts_col)]
     win = F.window(F.col(ts_col), window_duration)
     with_win = df.withColumn("__win", win.start)
-    salt = F.pmod(F.xxhash64(F.col(ts_col).cast("string")), F.lit(n_salts))
+    # salt over the WHOLE row, not the timestamp: an identical-ts burst on
+    # one host must spread across salt partitions (VERDICT r01 minor)
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)
+    )
     w_salt = Window.partitionBy(host_col, "__win", salt).orderBy(*order)
     pre = with_win.withColumn("__prn", F.row_number().over(w_salt)).filter(
         F.col("__prn") <= budget
