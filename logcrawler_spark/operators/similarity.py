@@ -134,6 +134,7 @@ def assign_ivf_cells(
     vec_col: str,
     id_col: str,
     n_centroids: int = 16,
+    centroids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF cell assignment: (centroids_df, corpus+cell_id).
 
@@ -146,7 +147,7 @@ def assign_ivf_cells(
     """
     from logcrawler_spark.utils import ensure_min_partitions, materialize
 
-    cents = materialize(
+    cents = centroids if centroids is not None else materialize(
         corpus.orderBy(F.col(id_col))
         .limit(n_centroids)
         .select(
@@ -172,6 +173,93 @@ def assign_ivf_cells(
     return cents, assigned
 
 
+def kmeans_refine_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_centroids: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """Deterministic Lloyd refinement of the IVF centroids.
+
+    Init = the ``n_centroids`` lowest-id vectors (as in
+    :func:`assign_ivf_cells`); each iteration reassigns every vector to its
+    argmax-cosine centroid and recomputes each centroid as the mean of its
+    members. The mean is an ORDER-FIXED left fold over members sorted by id
+    (per component), so the result is bit-deterministic across runs and
+    partitionings — the property the engine's oracles and tests rely on. At
+    10^10 rows the per-cell ``collect_list`` would be swapped for a
+    free-order per-component ``avg`` (bit-exactness is not load-bearing in
+    production k-means); the plan shape — broadcast centroids, one shuffle
+    on cell_id per iteration — is unchanged. Cells that lose all members
+    keep their previous centroid. Returns (cell_id, cv, cn).
+    """
+    from logcrawler_spark.utils import ensure_min_partitions, materialize
+
+    base = materialize(
+        ensure_min_partitions(corpus).select(
+            F.col(id_col).alias("id"),
+            _as_double(F.col(vec_col)).alias("v"),
+            _norm(_as_double(F.col(vec_col))).alias("vn"),
+        )
+    )
+    dim_row = base.select(F.size("v").alias("d")).first()
+    dim = int(dim_row["d"])
+    cents = materialize(
+        base.orderBy("id")
+        .limit(n_centroids)
+        .select(F.col("id").alias("cell_id"), F.col("v").alias("cv"),
+                F.col("vn").alias("cn"))
+    )
+    for _ in range(iters):
+        scored = base.crossJoin(F.broadcast(cents)).withColumn(
+            "sim", _dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))
+        )
+        w = Window.partitionBy("id").orderBy(
+            F.col("sim").desc(), F.col("cell_id")
+        )
+        assigned = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("id", "v", "cell_id")
+        )
+        members = assigned.groupBy("cell_id").agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("id"), F.col("v")))
+            ).alias("ms"),
+            F.count("*").alias("cnt"),
+        )
+
+        def _mean_component(j):
+            return (
+                F.aggregate(
+                    F.col("ms"),
+                    F.lit(0.0),
+                    lambda acc, m: acc + F.element_at(m["v"], j),
+                )
+                / F.col("cnt")
+            )
+
+        mean_v = F.transform(
+            F.sequence(F.lit(1), F.lit(dim)), lambda j: _mean_component(j)
+        )
+        updated = members.select(
+            "cell_id",
+            mean_v.alias("cv"),
+        ).withColumn("cn", _norm(F.col("cv")))
+        # empty cells keep their previous centroid
+        cents = materialize(
+            cents.alias("old")
+            .join(updated.alias("new"), on="cell_id", how="left")
+            .select(
+                "cell_id",
+                F.coalesce(F.col("new.cv"), F.col("old.cv")).alias("cv"),
+                F.coalesce(F.col("new.cn"), F.col("old.cn")).alias("cn"),
+            )
+        )
+    return cents
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -181,6 +269,7 @@ def cosine_topk_ivf(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``n_probe`` nearest cells only.
 
@@ -192,7 +281,16 @@ def cosine_topk_ivf(
     """
     from logcrawler_spark.utils import materialize
 
-    cents, assigned = assign_ivf_cells(corpus, vec_col, id_col, n_centroids)
+    refined = (
+        kmeans_refine_centroids(
+            corpus, vec_col, id_col, n_centroids, iters=kmeans_iters
+        )
+        if kmeans_iters > 0
+        else None
+    )
+    cents, assigned = assign_ivf_cells(
+        corpus, vec_col, id_col, n_centroids, centroids=refined
+    )
     assigned = materialize(assigned)
     q = queries.select(
         F.col(query_id_col).alias("query_id"),

@@ -146,7 +146,9 @@ def filter_not_seen(
     hash_col: str = "url_hash",
     key_cols: list[str] | None = None,
     n_buckets: int = 32,
-) -> DataFrame:
+    bucket_transform=None,
+    return_flagged: bool = False,
+):
     """candidates minus url_seen, with optional Bloom pre-split.
 
     Definitely-new rows (Bloom negative) bypass the anti-join shuffle;
@@ -159,6 +161,16 @@ def filter_not_seen(
     frame is materialized ONCE so the fresh/confirm split does not
     re-evaluate the probe kernel (ADVICE r01).
 
+    ``bucket_transform``: optional pandas fn applied to each candidate
+    bucket group BEFORE probing. Because the bucket is pmod(url_hash) and
+    url_hash is a function of the canonical key, all rows sharing a key are
+    colocated — so per-key work (e.g. the crawl's within-batch LWW dedup)
+    rides the probe's shuffle instead of paying its own window shuffle.
+
+    ``return_flagged``: also return the materialized flagged frame (rows ==
+    post-transform candidates), so callers can count candidates from its
+    parquet footers instead of running another job.
+
     ``n_buckets`` must be a power of two: the JVM side buckets with signed
     ``pmod`` and the numpy probe with uint64 wrap-around modulo — they agree
     exactly when n_buckets divides 2^64.
@@ -166,6 +178,7 @@ def filter_not_seen(
     assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of 2"
     keys = key_cols or [hash_col]
     if blooms is None:
+        assert bucket_transform is None and not return_flagged
         return candidates.join(url_seen, on=keys, how="left_anti")
 
     from pyspark.sql.types import BooleanType
@@ -176,6 +189,8 @@ def filter_not_seen(
     flagged_schema = candidates.schema.add("__maybe", BooleanType())
 
     def _probe(cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
+        if bucket_transform is not None:
+            cand_pdf = bucket_transform(cand_pdf)
         out = cand_pdf[out_cols].copy()
         if bloom_pdf.empty:
             out["__maybe"] = False  # no bloom row -> bucket has no seen keys
@@ -205,4 +220,5 @@ def filter_not_seen(
         .drop("__maybe")
         .join(url_seen, on=keys, how="left_anti")
     )
-    return fresh.unionByName(confirm)
+    unseen = fresh.unionByName(confirm)
+    return (unseen, flagged) if return_flagged else unseen

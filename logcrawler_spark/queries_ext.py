@@ -466,6 +466,107 @@ def q_ann_topk_lsh(spark, sf_dir):
     return cosine_topk_lsh(e, q, "embedding", "vec_id", "vec_id", k=5)
 
 
+_DOTD = """list_reduce(list_prepend(0.0,
+            list_transform(range(1, 65), i -> {a}[i] * {b}[i])),
+            (acc, x) -> acc + x)"""
+
+
+def _kmeans_ivf_sql(n_centroids: int, iters: int, n_probe: int, k: int) -> str:
+    """DuckDB oracle for the kmeans-refined IVF top-k.
+
+    Reproducible across engines because every float accumulation is an
+    order-fixed left fold: centroid means fold per component over members
+    sorted by id (mirroring the Spark kernel's sort_array + aggregate), so
+    the refined centroids are bit-identical and all downstream sim
+    comparisons agree exactly.
+    """
+    dd = _DOTD.format
+    parts = [
+        f"""base AS (
+      SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS vn
+      FROM embeddings),
+    cents0 AS (
+      SELECT id AS cell_id, v AS cv, vn AS cn FROM base
+      ORDER BY id LIMIT {n_centroids})"""
+    ]
+    for t in range(iters):
+        parts.append(f"""asn{t} AS (
+      SELECT id, v, cell_id FROM (
+        SELECT b.id, b.v, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY b.id
+                 ORDER BY {dd(a='b.v', b='c.cv')} / (b.vn * c.cn) DESC,
+                          c.cell_id) AS rn
+        FROM base b CROSS JOIN cents{t} c) WHERE rn = 1),
+    mem{t} AS (
+      SELECT cell_id,
+             list_sort(list(struct_pack(id := id, v := v))) AS ms,
+             count(*) AS cnt
+      FROM asn{t} GROUP BY cell_id),
+    upd{t} AS (
+      SELECT cell_id,
+             list_transform(range(1, 65),
+               j -> list_reduce(
+                      list_prepend(0.0, list_transform(ms, m -> m.v[j])),
+                      (acc, x) -> acc + x) / cnt) AS cv
+      FROM mem{t}),
+    cents{t + 1} AS (
+      SELECT c.cell_id,
+             coalesce(u.cv, c.cv) AS cv,
+             CASE WHEN u.cv IS NULL THEN c.cn
+                  ELSE sqrt({dd(a='u.cv', b='u.cv')}) END AS cn
+      FROM cents{t} c LEFT JOIN upd{t} u USING (cell_id))""")
+    fin = f"cents{iters}"
+    parts.append(f"""assigned AS (
+      SELECT id, v, vn, cell_id FROM (
+        SELECT b.id, b.v, b.vn, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY b.id
+                 ORDER BY {dd(a='b.v', b='c.cv')} / (b.vn * c.cn) DESC,
+                          c.cell_id) AS rn
+        FROM base b CROSS JOIN {fin} c) WHERE rn = 1),
+    q AS (SELECT id AS query_id, v AS qv, vn AS qn FROM base WHERE id < 5),
+    probes AS (
+      SELECT query_id, qv, qn, cell_id FROM (
+        SELECT q.query_id, q.qv, q.qn, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {dd(a='q.qv', b='c.cv')} / (q.qn * c.cn) DESC,
+                          c.cell_id) AS rn
+        FROM q CROSS JOIN {fin} c) WHERE rn <= {n_probe}),
+    scored AS (
+      SELECT p.query_id, a.id,
+             round({dd(a='a.v', b='p.qv')} / (a.vn * p.qn), 6) AS cosine
+      FROM assigned a JOIN probes p USING (cell_id)),
+    ranked AS (
+      SELECT query_id, id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, id) AS rank
+      FROM scored)""")
+    body = ",\n    ".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"    SELECT query_id, rank, id, cosine FROM ranked WHERE rank <= {k}"
+    )
+
+
+@register("q_ann_topk_ivf_kmeans", _kmeans_ivf_sql(8, 2, 2, 5))
+def q_ann_topk_ivf_kmeans(spark, sf_dir):
+    """IVF top-k over kmeans-refined centroids (2 deterministic Lloyd
+    iterations; order-fixed fold means make the refinement bit-reproducible
+    in DuckDB — see ``operators.similarity.kmeans_refine_centroids``)."""
+    from logcrawler_spark.operators.similarity import cosine_topk_ivf
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return cosine_topk_ivf(
+        e, q, "embedding", "vec_id", "vec_id", k=5, n_centroids=8,
+        n_probe=2, kmeans_iters=2,
+    )
+
+
 @register(
     "q_ann_topk_ivf",
     f"""

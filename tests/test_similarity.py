@@ -238,3 +238,83 @@ def test_lsh_pair_join_stays_equi_join(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     ), plan
+
+
+def test_kmeans_centroids_deterministic_and_exact_mean(spark):
+    """Refined centroids are bit-identical across runs/partitionings and
+    equal the order-fixed python mean of their members."""
+    from logcrawler_spark.operators.similarity import (
+        assign_ivf_cells,
+        kmeans_refine_centroids,
+    )
+
+    e = _emb(spark)
+    c1 = {
+        r["cell_id"]: tuple(r["cv"])
+        for r in kmeans_refine_centroids(
+            e, "embedding", "vec_id", n_centroids=8, iters=2
+        ).collect()
+    }
+    c2 = {
+        r["cell_id"]: tuple(r["cv"])
+        for r in kmeans_refine_centroids(
+            e.repartition(7), "embedding", "vec_id", n_centroids=8, iters=2
+        ).collect()
+    }
+    assert c1 == c2  # exact, including float bits
+
+    # one-iteration centroid == python left-fold mean of iteration-0 members
+    cents0, assigned0 = assign_ivf_cells(e, "embedding", "vec_id", 8)
+    members = {}
+    for r in assigned0.collect():
+        members.setdefault(r["cell_id"], []).append((r["id"], r["v"]))
+    c_one = {
+        r["cell_id"]: list(r["cv"])
+        for r in kmeans_refine_centroids(
+            e, "embedding", "vec_id", n_centroids=8, iters=1
+        ).collect()
+    }
+    for cell, ms in members.items():
+        ms.sort()
+        dim = len(ms[0][1])
+        want = []
+        for j in range(dim):
+            acc = 0.0
+            for _id, v in ms:
+                acc += v[j]
+            want.append(acc / len(ms))
+        assert c_one[cell] == want, cell
+
+
+def test_ivf_kmeans_self_match_and_recall_not_worse(spark):
+    """kmeans-refined IVF keeps the self-match invariant and does not lose
+    recall vs lowest-id centroids at the same n_probe."""
+    from logcrawler_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    e = _emb(spark)
+    q = e.filter(F.col("vec_id") < 10)
+    k = 5
+
+    truth = {}
+    for r in cosine_topk_bruteforce(
+        e, q, "embedding", "vec_id", "vec_id", k=k
+    ).collect():
+        truth.setdefault(r["query_id"], set()).add(r["id"])
+
+    def recall(iters):
+        out = cosine_topk_ivf(
+            e, q, "embedding", "vec_id", "vec_id", k=k,
+            n_centroids=8, n_probe=2, kmeans_iters=iters,
+        )
+        got = {}
+        for r in out.collect():
+            got.setdefault(r["query_id"], set()).add(r["id"])
+        assert all(qid in got[qid] for qid in got)  # self-match probed
+        return sum(
+            len(got.get(qid, set()) & t) for qid, t in truth.items()
+        ) / sum(len(t) for t in truth.values())
+
+    assert recall(2) >= recall(0) - 1e-9
