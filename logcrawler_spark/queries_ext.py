@@ -200,6 +200,11 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+def _minhash_sql(src: str = "documents") -> str:
+    """Banded MinHash-LSH candidate pairs over any (doc_id, text) relation."""
+    return _MINHASH_ORACLE.replace("FROM documents", f"FROM {src}")
+
+
 _MINHASH_ORACLE = """
     WITH words AS (
       SELECT doc_id,
@@ -738,6 +743,120 @@ def q_multimodal_meta(spark, sf_dir):
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return decode_blob_metadata(d, id_col="doc_id", payload_col="payload")
+
+
+_CURATION_SQL = r"""
+    WITH ctoks AS (
+      SELECT doc_id, text,
+             list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')
+               AS t
+      FROM documents),
+    cscored AS (
+      SELECT doc_id, text, len(t) AS n_tokens,
+             CASE WHEN len(t) = 0 THEN 0.0 ELSE
+               CAST(len(list_filter(t, x -> x IN
+                 ('the','and','of','to','in','is','it','for'))) AS DOUBLE)
+                 / len(t) END AS s_en,
+             CASE WHEN len(t) = 0 THEN 0.0 ELSE
+               CAST(len(list_filter(t, x -> x IN
+                 ('der','die','und','das','ist','nicht','ein','zu')))
+                 AS DOUBLE) / len(t) END AS s_de,
+             CASE WHEN len(t) = 0 THEN 0.0 ELSE
+               CAST(len(list_filter(t, x -> x IN
+                 ('el','la','de','los','es','un','para','por'))) AS DOUBLE)
+                 / len(t) END AS s_es,
+             CASE WHEN len(t) = 0 THEN 0.0 ELSE
+               CAST(len(list_filter(t, x -> x IN
+                 ('le','la','et','les','des','est','un','pour'))) AS DOUBLE)
+                 / len(t) END AS s_fr,
+             CASE WHEN len(text) = 0 THEN 0.0 ELSE
+               CAST(len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+                    AS DOUBLE) / len(text) END AS punct
+      FROM ctoks),
+    cfeat AS (
+      SELECT doc_id, text, n_tokens,
+             CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0.0 THEN 'und'
+                  WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                  WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                  WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                  ELSE 'fr' END AS lang_pred,
+             round(greatest(
+               (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000
+                     THEN 0.5 ELSE 0.0 END)
+               + least(s_en * 2.0, 0.4) - least(punct * 2.0, 0.3),
+               0.0), 6) AS quality
+      FROM cscored WHERE n_tokens > 0),
+    kept AS (
+      SELECT * FROM cfeat WHERE lang_pred = 'en' AND quality >= 0.3),
+    uniq AS (
+      SELECT doc_id, text, lang_pred, quality, n_tokens FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+        FROM kept) WHERE rn = 1),
+    cand AS (MINHASH_UNIQ),
+    uwords AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')
+               AS w
+      FROM uniq),
+    ush AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               [array_to_string(w[i:i+2], ' ')
+                FOR i IN range(1, greatest(len(w) - 2, 1) + 1)])) AS s
+      FROM uwords),
+    drops AS (
+      SELECT DISTINCT c.id_b AS doc_id
+      FROM cand c JOIN ush a ON c.id_a = a.doc_id
+                  JOIN ush b ON c.id_b = b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(a.s || b.s)) >= 0.5)
+    SELECT u.doc_id, u.lang_pred, u.quality, u.n_tokens
+    FROM uniq u ANTI JOIN drops d ON u.doc_id = d.doc_id
+"""
+
+
+@register(
+    "q_corpus_curation",
+    _CURATION_SQL.replace("MINHASH_UNIQ", _minhash_sql("uniq")),
+)
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end training-corpus curation: language-ID filter -> quality
+    gate -> exact dedup (keep lowest id per md5) -> near-dup drop (greedy:
+    any doc appearing as id_b of an LSH-candidate pair with n-gram
+    jaccard >= 0.5 is dropped, so the lowest id of a near-dup group
+    survives). One declarative plan — cheap filters prune before the
+    expensive dedup stages."""
+    from logcrawler_spark.functions.text import (
+        lang_id,
+        quality_score,
+        token_count,
+    )
+    from logcrawler_spark.operators.dedup import (
+        exact_dedup,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = d.filter(token_count(t) > 0).select(
+        "doc_id",
+        "text",
+        lang_id(t).alias("lang_pred"),
+        quality_score(t).alias("quality"),
+        token_count(t).alias("n_tokens"),
+    )
+    kept = scored.filter(
+        (F.col("lang_pred") == "en") & (F.col("quality") >= 0.3)
+    )
+    uniq = exact_dedup(kept, "text", "doc_id")
+    pairs = ngram_jaccard_pairs(
+        uniq, "text", "doc_id", n=3, threshold=0.5, lsh_k=8, lsh_bands=4
+    )
+    drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return uniq.join(drops, on="doc_id", how="left_anti").select(
+        "doc_id", "lang_pred", "quality", "n_tokens"
+    )
 
 
 # ------------------------------------------------------- SURT / crawl round
