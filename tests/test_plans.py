@@ -84,3 +84,69 @@ def test_whole_stage_codegen_covers_scalar_pack(spark):
     plan = _plan(df)
     # '*(n)' prefixes mark WholeStageCodegen spans in executedPlan strings
     assert "*(1)" in plan
+
+
+def test_bloom_probe_is_cogrouped_bucket_join(spark):
+    """The URL-seen probe must be a cogrouped bucket join (one candidate
+    shuffle, bloom rows joined per task) — never a driver collect/broadcast
+    of the bloom table or a nested-loop join."""
+    from logcrawler_spark.plans.bloom import build_bloom_table, filter_not_seen
+
+    seen = spark.range(0, 500).select(
+        F.xxhash64(F.concat(F.lit("u"), F.col("id"))).alias("url_hash"),
+        F.concat(F.lit("u"), F.col("id")).alias("canonical_url"),
+    )
+    cand = spark.range(400, 900).select(
+        F.xxhash64(F.concat(F.lit("u"), F.col("id"))).alias("url_hash"),
+        F.concat(F.lit("u"), F.col("id")).alias("canonical_url"),
+    )
+    import logcrawler_spark.utils as U
+
+    blooms = build_bloom_table(seen, n_buckets=16)
+    probed_plans = []
+    orig = U.materialize
+
+    def spy(df):
+        probed_plans.append(_plan(df))
+        return orig(df)
+
+    U.materialize = spy
+    try:
+        out = filter_not_seen(
+            cand, seen, blooms, key_cols=["url_hash", "canonical_url"],
+            n_buckets=16,
+        )
+        full = _plan(out)
+    finally:
+        U.materialize = orig
+    # the probe itself (pinned by the internal materialize)
+    assert probed_plans and "FlatMapCoGroupsInPandas" in probed_plans[-1]
+    for plan in probed_plans + [full]:
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fetch_retry_stays_in_codegen(spark):
+    """The S6 retry expressions are pure columns — the fetch filter must
+    not introduce a Python UDF stage."""
+    from logcrawler_spark.plans.frontier import run_crawl
+    from logcrawler_spark.sources.pages import (
+        generate_pages,
+        generate_robots_rules,
+        generate_seeds,
+    )
+    # plan-only check: build one round's fetch frame lazily via a tiny run
+    pages = generate_pages(spark, "/root/testdata/sf0.001", 50)
+    sched = pages.select(
+        F.col("url").alias("canonical_url"), F.lit(1.0).alias("priority")
+    ).limit(5)
+    ok_attempts = F.filter(
+        F.sequence(F.lit(1), F.lit(3)),
+        lambda a: F.pmod(F.xxhash64(F.col("canonical_url"), a), F.lit(100))
+        >= 25,
+    )
+    fetched = pages.withColumnRenamed("url", "canonical_url").join(
+        F.broadcast(sched.select("canonical_url")), "canonical_url"
+    ).withColumn("__first_ok", F.try_element_at(ok_attempts, F.lit(1)))
+    plan = _plan(fetched.filter(F.col("__first_ok").isNotNull()))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
