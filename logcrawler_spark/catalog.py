@@ -129,14 +129,25 @@ class Catalog:
         snap_name = self._write_data_dir(table, df)
         self._commit(table, [(snap_name, None)])
 
-    def append(self, table: str, df: DataFrame, tag: int | None = None) -> None:
+    def append(self, table: str, df: DataFrame, tag: int | None = None,
+               n_buckets: int | None = None,
+               bucket_col: str | None = None) -> None:
         """Append ``df`` as a new immutable data dir — O(delta) IO.
 
         With a ``tag`` (monotone int, e.g. the crawl round), the commit is
         idempotent per tag: manifest entries with tag >= the new tag are
         dropped first, so re-running a crashed round replaces its partial
         append instead of duplicating rows.
+
+        ``n_buckets``/``bucket_col``: hash-cluster the delta's files by the
+        key column, keeping the whole table's layout bucket-aligned across
+        appends (the Iceberg ``bucket(url_hash)`` stand-in, as in
+        :meth:`overwrite`).
         """
+        if n_buckets and bucket_col:
+            df = df.repartition(
+                n_buckets, F.pmod(F.col(bucket_col), F.lit(n_buckets))
+            )
         snap_name = self._write_data_dir(table, df)
         entries = self._read_manifest(table)
         if tag is not None:

@@ -53,6 +53,10 @@ def decode_yuv422_rgb(payload: bytes, width: int, height: int) -> np.ndarray:
     fixed-point so the result is platform-independent and byte-exact
     against the per-pixel Python oracle.
     """
+    if width % 2:
+        # YUYV packs chroma per horizontal pixel PAIR; an odd width would
+        # silently wrap each row's last chroma sample into the next row
+        raise ValueError(f"YUV422 width must be even, got {width}")
     yuv = np.frombuffer(payload, dtype=np.uint8)
     if yuv.size != width * height * 2:
         raise ValueError(

@@ -335,10 +335,14 @@ def auto_lsh_tables(
     recall. The count is a parquet-metadata operation; the first() probe
     reads one row for the dimension."""
     n = corpus.count()
-    dim = len(corpus.select(vec_col).first()[0])
+    first = corpus.select(vec_col).first()
+    if first is None:
+        raise ValueError("auto_lsh_tables: corpus is empty")
+    dim = len(first[0])
     bits = n_bits if n_bits is not None else scaled_bucket_bits(
         n, target_bucket_size
     )
+    bits = min(bits, dim)  # sign bits cannot exceed the dimension
     return [table_positions(dim, bits, t) for t in range(n_tables)]
 
 

@@ -98,9 +98,12 @@ def canonicalize_candidates(df: DataFrame, url_col: str = "url") -> DataFrame:
 
 def dedup_batch(cand: DataFrame) -> DataFrame:
     """Within-batch last-writer-wins: keep max priority per canonical URL
-    (``src/lib.rs:97`` semantics; deterministic tie-break on the URL)."""
+    (``src/lib.rs:97`` semantics). ``path`` completes the total order —
+    host and url_hash are functions of the canonical key, so without it two
+    raw-URL variants tying on priority would survive by arrival order
+    (CLAUDE.md determinism rule)."""
     w = Window.partitionBy("canonical_url").orderBy(
-        F.col("priority").desc(), F.col("host")
+        F.col("priority").desc(), F.col("host"), F.col("path")
     )
     return (
         cand.withColumn("__rn", F.row_number().over(w))
@@ -115,8 +118,8 @@ def _lww_dedup_pandas(pdf):
     canonical_url share the bucket, so the dedup needs no shuffle of its
     own."""
     return pdf.sort_values(
-        ["canonical_url", "priority", "host"],
-        ascending=[True, False, True],
+        ["canonical_url", "priority", "host", "path"],
+        ascending=[True, False, True, True],
         kind="mergesort",
     ).drop_duplicates("canonical_url", keep="first")
 
@@ -266,8 +269,17 @@ def crawl_round(
         # shuffle and the dedicated dedup window shuffle is gone
         # (VERDICT r01 task 9). Round 1 probes an EMPTY bloom table (every
         # row definitely-new) so the fused path applies from the start.
-        blooms_in = state.blooms
-        if blooms_in is None:
+        standing = state.blooms
+        if standing is None and state.round_no > 0:
+            # bootstrap BEFORE the probe (resume from a catalog lacking a
+            # bloom table, or a use_bloom=False run resumed with True): the
+            # invariant is blooms ⊇ url_seen — probing an empty table here
+            # would mark every seen URL definitely-new and re-schedule it
+            standing = _materialize(
+                build_bloom_table(state.url_seen, n_buckets=bloom_buckets)
+            )
+        blooms_in = standing
+        if blooms_in is None:  # round 1: nothing seen yet
             blooms_in = keyed.sparkSession.createDataFrame(
                 [], "bucket int, bloom binary, n_items long, m_bits long, k int"
             )
@@ -392,12 +404,8 @@ def crawl_round(
         delta = build_bloom_table(
             sched.select("url_hash"), n_buckets=bloom_buckets
         )
-        base = state.blooms
-        if base is None and state.round_no > 0:
-            # bootstrap path (resume from a catalog lacking a bloom table):
-            # one-time full build, incremental thereafter
-            base = build_bloom_table(state.url_seen, n_buckets=bloom_buckets)
-        new_blooms = _materialize(merge_bloom_tables(base, delta))
+        # `standing` already covers url_seen (bootstrapped above if needed)
+        new_blooms = _materialize(merge_bloom_tables(standing, delta))
     round_metrics = (
         sched.groupBy("round", "host")
         .agg(
@@ -444,6 +452,7 @@ def run_crawl(
     use_bloom: bool = True,
     catalog: Catalog | None = None,
     dedup_pages: bool = False,
+    bloom_buckets: int = 32,
     failure_rate_pct: int = 0,
     max_fetch_attempts: int = 3,
 ) -> CrawlState:
@@ -468,6 +477,7 @@ def run_crawl(
     for _ in range(rounds):
         state = crawl_round(
             state, pages_c, robots, budget, use_bloom,
+            bloom_buckets=bloom_buckets,
             failure_rate_pct=failure_rate_pct,
             max_fetch_attempts=max_fetch_attempts,
         )
@@ -491,7 +501,9 @@ def _commit_round(spark: SparkSession, catalog: Catalog, state: CrawlState) -> N
     counts are a sum over rounds."""
     rnd = state.round_no
     seen_delta = state.url_seen.filter(F.col("first_seen_round") == rnd)
-    catalog.append("url_seen", seen_delta, tag=rnd)
+    catalog.append(
+        "url_seen", seen_delta, tag=rnd, n_buckets=8, bucket_col="url_hash"
+    )
     catalog.append(
         "schedule", state.schedule.filter(F.col("round") == rnd), tag=rnd
     )
@@ -530,6 +542,9 @@ def resume_crawl(
     total_rounds: int,
     budget: int = 8,
     use_bloom: bool = True,
+    bloom_buckets: int = 32,
+    failure_rate_pct: int = 0,
+    max_fetch_attempts: int = 3,
 ) -> CrawlState:
     """Resume from the catalog's last committed round and finish the crawl.
 
@@ -558,6 +573,11 @@ def resume_crawl(
         ),
     )
     for _ in range(total_rounds - done):
-        state = crawl_round(state, pages_c, robots, budget, use_bloom)
+        state = crawl_round(
+            state, pages_c, robots, budget, use_bloom,
+            bloom_buckets=bloom_buckets,
+            failure_rate_pct=failure_rate_pct,
+            max_fetch_attempts=max_fetch_attempts,
+        )
         _commit_round(spark, catalog, state)
     return state

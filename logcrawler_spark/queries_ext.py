@@ -276,7 +276,7 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
-from logcrawler_spark.oracles import fixture_sql
+from logcrawler_spark.oracles import fixture_sql, oracle_applies
 
 
 @register("q_simhash_pairs", fixture_sql("q_simhash_pairs"))
@@ -293,21 +293,23 @@ def q_simhash_pairs(spark, sf_dir):
     from logcrawler_spark.oracles import write_fixture
     from logcrawler_spark.oracles.textsim import simhash_pairs
 
-    tbl = pq.read_table(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
-    expected = simhash_pairs(
-        list(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())),
-        max_hamming=16,
-        n=3,
-    )
-    write_fixture(
-        "q_simhash_pairs",
-        sf_dir,
-        pd.DataFrame(
-            expected, columns=["id_a", "id_b", "hamming"]
-        ).astype({"id_a": "int64", "id_b": "int64", "hamming": "int32"}),
-    )
+    if oracle_applies(sf_dir):
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        expected = simhash_pairs(
+            list(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())),
+            max_hamming=16,
+            n=3,
+        )
+        write_fixture(
+            "q_simhash_pairs",
+            sf_dir,
+            pd.DataFrame(
+                expected, columns=["id_a", "id_b", "hamming"]
+            ).astype({"id_a": "int64", "id_b": "int64", "hamming": "int32"}),
+        )
+
 
     d = _t(spark, sf_dir, "documents")
     return simhash_dup_pairs(d, "text", "doc_id", max_hamming=16, n=3)
@@ -946,23 +948,25 @@ def q_crawl_round(spark, sf_dir):
     seeds = generate_seeds(spark, sf_dir, n_hosts=50)
     robots = generate_robots_rules(spark, n_hosts=50)
 
-    sim = simulate_crawl(
-        pages.toPandas(), seeds.toPandas(), robots.toPandas(),
-        rounds=1, budget=5,
-    )
-    expected = pd.DataFrame(
-        sim.schedule,
-        columns=["round", "host", "priority", "canonical_url",
-                 "host_rank", "slot_ms"],
-    )[["round", "host", "canonical_url", "priority", "host_rank", "slot_ms"]]
-    write_fixture(
-        "q_crawl_round",
-        sf_dir,
-        expected.astype(
-            {"round": "int32", "priority": "float64",
-             "host_rank": "int32", "slot_ms": "int64"}
-        ),
-    )
+    if oracle_applies(sf_dir):
+        sim = simulate_crawl(
+            pages.toPandas(), seeds.toPandas(), robots.toPandas(),
+            rounds=1, budget=5,
+        )
+        expected = pd.DataFrame(
+            sim.schedule,
+            columns=["round", "host", "priority", "canonical_url",
+                     "host_rank", "slot_ms"],
+        )[["round", "host", "canonical_url", "priority", "host_rank", "slot_ms"]]
+        write_fixture(
+            "q_crawl_round",
+            sf_dir,
+            expected.astype(
+                {"round": "int32", "priority": "float64",
+                 "host_rank": "int32", "slot_ms": "int64"}
+            ),
+        )
+
 
     state = run_crawl(spark, pages, seeds, robots, rounds=1, budget=5)
     return state.schedule.select(

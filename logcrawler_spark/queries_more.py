@@ -267,7 +267,7 @@ def q_metadata_counts(spark, sf_dir):
     return out
 
 
-from logcrawler_spark.oracles import fixture_sql
+from logcrawler_spark.oracles import fixture_sql, oracle_applies
 
 
 @register("q_binlog_scan", fixture_sql("q_binlog_scan"))
@@ -313,15 +313,18 @@ def q_binlog_scan(spark, sf_dir):
                         + body
                     )
         os.replace(path + ".tmp", path)
-    with open(path, "rb") as f:
-        expected = frame_field_counts(f.read())
-    write_fixture(
-        "q_binlog_scan",
-        sf_dir,
-        pd.DataFrame(
-            expected, columns=["frame_number", "n_fields"]
-        ).astype({"frame_number": "int32", "n_fields": "int32"}),
-    )
+    if oracle_applies(sf_dir):
+        with open(path, "rb") as f:
+            expected = frame_field_counts(f.read())
+        write_fixture(
+            "q_binlog_scan",
+            sf_dir,
+            pd.DataFrame(
+                expected, columns=["frame_number", "n_fields"]
+            ).astype({"frame_number": "int32", "n_fields": "int32"}),
+        )
+
+
     frames = frames_of(read_framed_log(spark, path))
     return frames.select(
         "frame_number", F.size(F.map_keys("fields")).alias("n_fields")
@@ -355,20 +358,22 @@ def q_tree_flatten(spark, sf_dir):
     ]
     trees = {i: make_tree(i) for i in sorted(ids)}
 
-    expected = [
-        row for i, t in trees.items() for row in flatten_tree_py(i, t)
-    ]
-    write_fixture(
-        "q_tree_flatten",
-        sf_dir,
-        pd.DataFrame(
-            expected,
-            columns=["doc_id", "node_id", "parent_id", "depth", "path",
-                     "state"],
-        ).astype({"depth": "int32", "parent_id": "float64"}).astype(
-            {"parent_id": "Int64"}
-        ),
-    )
+    if oracle_applies(sf_dir):
+        expected = [
+            row for i, t in trees.items() for row in flatten_tree_py(i, t)
+        ]
+        write_fixture(
+            "q_tree_flatten",
+            sf_dir,
+            pd.DataFrame(
+                expected,
+                columns=["doc_id", "node_id", "parent_id", "depth", "path",
+                         "state"],
+            ).astype({"depth": "int32", "parent_id": "float64"}).astype(
+                {"parent_id": "Int64"}
+            ),
+        )
+
 
     inp = spark.createDataFrame(
         [(i, json.dumps(t)) for i, t in trees.items()],
@@ -455,15 +460,17 @@ def q_binlog_decode(spark, sf_dir):
                     )
         os.replace(path + ".tmp", path)
 
-    with open(path, "rb") as f:
-        expected = decode_framed_payloads_py(f.read())
-    write_fixture(
-        "q_binlog_decode",
-        sf_dir,
-        pd.DataFrame(
-            expected, columns=["frame_number", "name", "repr_json"]
-        ).astype({"frame_number": "int32"}),
-    )
+    if oracle_applies(sf_dir):
+        with open(path, "rb") as f:
+            expected = decode_framed_payloads_py(f.read())
+        write_fixture(
+            "q_binlog_decode",
+            sf_dir,
+            pd.DataFrame(
+                expected, columns=["frame_number", "name", "repr_json"]
+            ).astype({"frame_number": "int32"}),
+        )
+
 
     extents = read_framed_log(spark, path)
     payloads = slice_payload(extents, spark)
@@ -514,23 +521,25 @@ def q_image_stats(spark, sf_dir):
                 f.write(struct.pack("<I", r["doc_id"]) + payload)
         os.replace(path + ".tmp", path)
 
-    with open(path, "rb") as f:
-        expected = stride_log_stats_py(f.read(), stride, width, height)
-    write_fixture(
-        "q_image_stats",
-        sf_dir,
-        pd.DataFrame(expected).astype(
-            {
-                "frame_number": "int64",
-                "width": "int32",
-                "height": "int32",
-                "n_pix": "int64",
-                "sum_y": "int64",
-                "sum_lap": "int64",
-                "sum_lap_sq": "int64",
-            }
-        ),
-    )
+    if oracle_applies(sf_dir):
+        with open(path, "rb") as f:
+            expected = stride_log_stats_py(f.read(), stride, width, height)
+        write_fixture(
+            "q_image_stats",
+            sf_dir,
+            pd.DataFrame(expected).astype(
+                {
+                    "frame_number": "int64",
+                    "width": "int32",
+                    "height": "int32",
+                    "n_pix": "int64",
+                    "sum_y": "int64",
+                    "sum_lap": "int64",
+                    "sum_lap_sq": "int64",
+                }
+            ),
+        )
+
 
     extents = read_stride_log(spark, path, stride, first_is_top=True)
     payloads = slice_payload(extents, spark)

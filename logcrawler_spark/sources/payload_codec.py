@@ -94,9 +94,22 @@ def encode_payload(name: str, values: dict) -> bytes:
     return bytes(out)
 
 
-def decode_payload_dict(name: str, payload: bytes) -> dict | None:
-    """Decode one payload to a dict (redacted); None if unregistered."""
-    schema = resolve_schema(name)
+def decode_payload_dict(
+    name: str,
+    payload: bytes,
+    registry: dict | None = None,
+    aliases: dict | None = None,
+) -> dict | None:
+    """Decode one payload to a dict (redacted); None if unregistered.
+
+    ``registry``/``aliases`` override the module tables — the Spark kernel
+    passes snapshots captured at plan-build time, because executor workers
+    re-import this module and would otherwise see only the import-time
+    defaults (driver-side ``register_schema`` calls would silently decode
+    to NULL on workers)."""
+    reg = SCHEMA_REGISTRY if registry is None else registry
+    al = _ALIASES if aliases is None else aliases
+    schema = reg.get(al.get(name, name))
     if schema is None:
         return None
     fields, redact = schema
@@ -143,11 +156,17 @@ def decode_payloads(
     repr_json rather than failing the job (T3 policy).
     """
 
+    # snapshot the registry at plan-build time: the closure ships the
+    # driver's registrations to workers (a re-imported module would only
+    # hold the defaults)
+    registry = dict(SCHEMA_REGISTRY)
+    aliases = dict(_ALIASES)
+
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             js = [
                 to_canonical_json(
-                    decode_payload_dict(nm, bytes(pl))
+                    decode_payload_dict(nm, bytes(pl), registry, aliases)
                 )
                 for nm, pl in zip(pdf[name_col], pdf[payload_col])
             ]

@@ -110,3 +110,38 @@ def test_resume_ignores_and_replaces_crashed_partial_commit(spark, tmp_path):
     cat_urls = {r["canonical_url"] for r in cat.read("url_seen").collect()}
     assert cat_urls == want
     assert "http://bogus.example.com/x" not in cat_urls
+
+
+def test_resume_with_bloom_after_bloomless_run_does_not_reschedule(
+    spark, tmp_path
+):
+    """Catalog has url_seen but NO bloom table (crawled with
+    use_bloom=False): resuming with use_bloom=True must bootstrap the bloom
+    BEFORE the first probe — probing an empty table would mark every seen
+    URL definitely-new and re-schedule it."""
+    pages = generate_pages(spark, SF_SMOKE, n_hosts=N_HOSTS)
+    seeds = generate_seeds(spark, SF_SMOKE, n_hosts=N_HOSTS)
+    robots = generate_robots_rules(spark, n_hosts=N_HOSTS)
+
+    full = run_crawl(
+        spark, pages, seeds, robots, rounds=3, budget=BUDGET, use_bloom=False
+    )
+    cat = Catalog(spark, str(tmp_path))
+    run_crawl(
+        spark, pages, seeds, robots, rounds=1, budget=BUDGET,
+        use_bloom=False, catalog=cat,
+    )
+    assert not cat.exists("url_seen_bloom")
+    resumed = resume_crawl(
+        spark, pages, robots, cat, total_rounds=3, budget=BUDGET,
+        use_bloom=True,
+    )
+    # no URL scheduled twice, and the final sets match the bloomless run
+    dups = (
+        resumed.schedule.groupBy("canonical_url").count()
+        .filter(F.col("count") > 1).count()
+    )
+    assert dups == 0
+    assert {r["canonical_url"] for r in resumed.url_seen.collect()} == {
+        r["canonical_url"] for r in full.url_seen.collect()
+    }
