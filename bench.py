@@ -157,6 +157,9 @@ def main() -> None:
         "q_minhash_lsh_pairs",
         "q_ann_topk_bruteforce",
         "q_text_stats",
+        "q_corpus_curation",
+        "q_image_stats",
+        "q_tree_flatten",
     ]
     queries = entry_mod.queries()
     for name in query_names:

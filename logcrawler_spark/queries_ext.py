@@ -851,7 +851,12 @@ def q_corpus_curation(spark, sf_dir):
     kept = scored.filter(
         (F.col("lang_pred") == "en") & (F.col("quality") >= 0.3)
     )
-    uniq = exact_dedup(kept, "text", "doc_id")
+    from logcrawler_spark.utils import materialize
+
+    # uniq feeds four consumers (minhash sig, both jaccard sides, final
+    # anti-join); unpinned, CollapseProject would recompute the lang/quality
+    # expression pipeline per consumer (CLAUDE.md derived-column fan-out)
+    uniq = materialize(exact_dedup(kept, "text", "doc_id"))
     pairs = ngram_jaccard_pairs(
         uniq, "text", "doc_id", n=3, threshold=0.5, lsh_k=8, lsh_bands=4
     )
