@@ -1,0 +1,288 @@
+"""Partitioned cuckoo-filter URL-seen layer — the deletable sibling of
+``plans.bloom``.
+
+BASELINE.json's north star names a "Bloom/cuckoo-filter URL-seen set";
+the Bloom layer (``plans/bloom.py``) covers the append-only fast path,
+while this module adds what Bloom cannot: DELETION, the primitive a
+recrawl policy needs ("forget this URL after its TTL so it can be
+scheduled again") without rebuilding the filter.
+
+Same layout contract as the Bloom layer: tables are hash-bucketed by
+``pmod(url_hash, n_buckets)`` (power of two, so JVM signed pmod agrees
+with the numpy uint64 modulo); one cuckoo table per bucket, built/updated
+with ``applyInPandas`` and probed with a cogrouped bucket join — never a
+driver collect or broadcast of the filter.
+
+Cuckoo specifics (Fan et al., partial-key cuckoo hashing, public
+algorithm): each key stores a 16-bit fingerprint in one of two candidate
+rows of a (m x slots_per_row) uint16 table; row2 = row1 XOR
+position-hash(fingerprint), so relocation needs only the fingerprint.
+Zero is the empty sentinel (fingerprints are forced nonzero). Properties
+relied on by the engine and pinned in tests:
+
+- no false negatives for inserted keys;
+- delete works only for previously-inserted keys (standard cuckoo caveat:
+  deleting a never-inserted key may evict a colliding twin);
+- positives remain "maybe" — the exact anti-join always confirms.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from logcrawler_spark.plans.bloom import _mix64
+
+SLOTS_PER_ROW = 4
+_FP_CONST = np.uint64(0x5BD1E9955BD1E995)  # odd multiplier for fp -> row hop
+
+CUCKOO_SCHEMA = (
+    "bucket int, table binary, m_rows long, n_items long, n_kicked long"
+)
+
+
+def _fingerprints(hashes: np.ndarray) -> np.ndarray:
+    """Nonzero 16-bit fingerprints from fully-mixed hashes."""
+    fp = (_mix64(hashes) >> np.uint64(48)).astype(np.uint16)
+    fp[fp == 0] = 1
+    return fp
+
+
+def _row1(hashes: np.ndarray, m_rows: int) -> np.ndarray:
+    return (_mix64(hashes ^ np.uint64(0xA5A5A5A5A5A5A5A5)) % np.uint64(m_rows)).astype(np.int64)
+
+
+def _fp_hop(fp: np.ndarray, m_rows: int) -> np.ndarray:
+    """Row displacement derived from the fingerprint alone (so eviction can
+    relocate entries without the original key)."""
+    return (
+        _mix64(fp.astype(np.uint64) * _FP_CONST) % np.uint64(m_rows)
+    ).astype(np.int64)
+
+
+def _insert_many(
+    table: np.ndarray, hashes: np.ndarray, max_kicks: int = 500
+) -> int:
+    """Insert each hash; returns total eviction kicks. Raises if the table
+    is too full to place a key (callers size m_rows for <95% load)."""
+    m_rows = table.shape[0]
+    fps = _fingerprints(hashes)
+    r1s = _row1(hashes, m_rows)
+    hops = _fp_hop(fps, m_rows)
+    rng_state = np.uint64(0x9E3779B97F4A7C15)
+    kicks = 0
+    for fp, r1, hop in zip(fps, r1s, hops):
+        r2 = r1 ^ hop
+        placed = False
+        for r in (r1, r2):
+            empty = np.flatnonzero(table[r] == 0)
+            if empty.size:
+                table[r, empty[0]] = fp
+                placed = True
+                break
+        if placed:
+            continue
+        # evict: kick a resident fingerprint to its alternate row
+        row = int(r1)
+        cur = np.uint16(fp)
+        for _ in range(max_kicks):
+            # deterministic slot choice (splitmix-style counter)
+            rng_state = (
+                rng_state * np.uint64(6364136223846793005)
+                + np.uint64(1442695040888963407)
+            )
+            slot = int(rng_state >> np.uint64(60)) % SLOTS_PER_ROW
+            cur, table[row, slot] = table[row, slot], cur
+            kicks += 1
+            row = int(
+                np.int64(row)
+                ^ _fp_hop(np.array([cur], dtype=np.uint16), m_rows)[0]
+            )
+            empty = np.flatnonzero(table[row] == 0)
+            if empty.size:
+                table[row, empty[0]] = cur
+                break
+        else:
+            raise ValueError("cuckoo table too full; increase m_rows")
+    return kicks
+
+
+def _delete_many(table: np.ndarray, hashes: np.ndarray) -> int:
+    """Remove one matching fingerprint per hash; returns #removed."""
+    m_rows = table.shape[0]
+    fps = _fingerprints(hashes)
+    r1s = _row1(hashes, m_rows)
+    hops = _fp_hop(fps, m_rows)
+    removed = 0
+    for fp, r1, hop in zip(fps, r1s, hops):
+        for r in (r1, int(np.int64(r1) ^ hop)):
+            match = np.flatnonzero(table[r] == fp)
+            if match.size:
+                table[r, match[0]] = 0
+                removed += 1
+                break
+    return removed
+
+
+def _probe_many(table: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Vectorized maybe-present test."""
+    m_rows = table.shape[0]
+    fps = _fingerprints(hashes)
+    r1s = _row1(hashes, m_rows)
+    r2s = r1s ^ _fp_hop(fps, m_rows)
+    hit1 = (table[r1s] == fps[:, None]).any(axis=1)
+    hit2 = (table[r2s] == fps[:, None]).any(axis=1)
+    return hit1 | hit2
+
+
+def build_cuckoo_table(
+    url_seen: DataFrame,
+    hash_col: str = "url_hash",
+    n_buckets: int = 32,
+    m_rows: int = 1 << 12,
+) -> DataFrame:
+    """One cuckoo table per hash bucket (m_rows x 4 slots of uint16)."""
+    assert n_buckets & (n_buckets - 1) == 0
+    assert m_rows & (m_rows - 1) == 0
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        hashes = pdf[hash_col].to_numpy().astype(np.uint64)
+        table = np.zeros((m_rows, SLOTS_PER_ROW), dtype=np.uint16)
+        kicks = _insert_many(table, hashes)
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf["__bucket"].iloc[0])],
+                "table": [table.tobytes()],
+                "m_rows": [m_rows],
+                "n_items": [len(pdf)],
+                "n_kicked": [kicks],
+            }
+        )
+
+    bucketed = url_seen.withColumn(
+        "__bucket", F.pmod(F.col(hash_col), F.lit(n_buckets))
+    )
+    return bucketed.groupBy("__bucket").applyInPandas(
+        _build, schema=CUCKOO_SCHEMA
+    )
+
+
+def _updated(
+    cuckoos: DataFrame,
+    keys: DataFrame,
+    hash_col: str,
+    n_buckets: int,
+    delete: bool,
+) -> DataFrame:
+    """Cogrouped per-bucket insert/delete of ``keys`` into the standing
+    tables — touches ONLY buckets holding keys; other rows pass through."""
+
+    def _apply(tbl_pdf: pd.DataFrame, key_pdf: pd.DataFrame) -> pd.DataFrame:
+        if tbl_pdf.empty:
+            # deletes into a missing bucket are no-ops; inserts bootstrap
+            if delete or key_pdf.empty:
+                return tbl_pdf.iloc[0:0]
+            bucket = int(key_pdf["__bucket"].iloc[0])
+            m_rows = 1 << 12
+            table = np.zeros((m_rows, SLOTS_PER_ROW), dtype=np.uint16)
+            kicks = _insert_many(
+                table, key_pdf[hash_col].to_numpy().astype(np.uint64)
+            )
+            return pd.DataFrame(
+                {
+                    "bucket": [bucket],
+                    "table": [table.tobytes()],
+                    "m_rows": [m_rows],
+                    "n_items": [len(key_pdf)],
+                    "n_kicked": [kicks],
+                }
+            )
+        row = tbl_pdf.iloc[0]
+        m_rows = int(row["m_rows"])
+        table = (
+            np.frombuffer(row["table"], dtype=np.uint16)
+            .reshape(m_rows, SLOTS_PER_ROW)
+            .copy()
+        )
+        n_items = int(row["n_items"])
+        kicks = int(row["n_kicked"])
+        if not key_pdf.empty:
+            hashes = key_pdf[hash_col].to_numpy().astype(np.uint64)
+            if delete:
+                n_items -= _delete_many(table, hashes)
+            else:
+                kicks += _insert_many(table, hashes)
+                n_items += len(hashes)
+        return pd.DataFrame(
+            {
+                "bucket": [int(row["bucket"])],
+                "table": [table.tobytes()],
+                "m_rows": [m_rows],
+                "n_items": [n_items],
+                "n_kicked": [kicks],
+            }
+        )
+
+    keyed = keys.withColumn(
+        "__bucket", F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int")
+    )
+    return (
+        cuckoos.groupBy("bucket")
+        .cogroup(keyed.groupBy("__bucket"))
+        .applyInPandas(_apply, schema=CUCKOO_SCHEMA)
+    )
+
+
+def insert_keys(
+    cuckoos: DataFrame, keys: DataFrame, hash_col: str = "url_hash",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Incrementally add a key delta (O(delta) work, per-bucket)."""
+    return _updated(cuckoos, keys, hash_col, n_buckets, delete=False)
+
+
+def delete_keys(
+    cuckoos: DataFrame, keys: DataFrame, hash_col: str = "url_hash",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Forget previously-inserted keys — the recrawl-TTL primitive Bloom
+    lacks. Only delete keys that were inserted (cuckoo caveat)."""
+    return _updated(cuckoos, keys, hash_col, n_buckets, delete=True)
+
+
+def probe_maybe_seen(
+    candidates: DataFrame,
+    cuckoos: DataFrame,
+    hash_col: str = "url_hash",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """candidates + __maybe boolean, via the same cogrouped bucket join the
+    Bloom probe uses (no driver collect / broadcast)."""
+    from pyspark.sql.types import BooleanType
+
+    out_cols = list(candidates.columns)
+    schema = candidates.schema.add("__maybe", BooleanType())
+
+    def _probe(cand_pdf: pd.DataFrame, tbl_pdf: pd.DataFrame) -> pd.DataFrame:
+        out = cand_pdf[out_cols].copy()
+        if tbl_pdf.empty:
+            out["__maybe"] = False
+            return out
+        row = tbl_pdf.iloc[0]
+        table = np.frombuffer(row["table"], dtype=np.uint16).reshape(
+            int(row["m_rows"]), SLOTS_PER_ROW
+        )
+        hashes = cand_pdf[hash_col].to_numpy().astype(np.uint64)
+        out["__maybe"] = _probe_many(table, hashes)
+        return out
+
+    return (
+        candidates.withColumn(
+            "__bucket", F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int")
+        )
+        .groupBy("__bucket")
+        .cogroup(cuckoos.groupBy("bucket"))
+        .applyInPandas(_probe, schema=schema)
+    )
