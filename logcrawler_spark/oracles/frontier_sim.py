@@ -97,8 +97,13 @@ def simulate_crawl(
     robots_pdf,
     rounds: int = 2,
     budget: int = 8,
+    ttl_rounds: int | None = None,
 ) -> SimResult:
-    """pages/seeds/robots as pandas DataFrames (column names per FIXTURES.md)."""
+    """pages/seeds/robots as pandas DataFrames (column names per FIXTURES.md).
+
+    ``ttl_rounds``: recrawl TTL — a URL seen at round s is schedulable
+    again from round s + ttl_rounds (mirrors the engine's cuckoo-backed
+    aging; None = seen forever)."""
     # one page per canonical URL, keeping the max (warc_ts, url) row —
     # matches plans.frontier.dedup_pages_lww (with unique canonicals, as in
     # the generated corpus, this reduces to identity)
@@ -129,6 +134,7 @@ def simulate_crawl(
         return True if best is None else best[1]
 
     res = SimResult()
+    seen_round: dict[str, int] = {}  # canonical -> round last scheduled
     candidates = [(r.url, float(r.priority)) for r in seeds_pdf.itertuples()]
 
     for rnd in range(1, rounds + 1):
@@ -138,8 +144,13 @@ def simulate_crawl(
             c = canonicalize(url)
             if c not in best_prio or prio > best_prio[c]:
                 best_prio[c] = prio
-        # 2. URL-seen anti-join
-        unseen = {c: p for c, p in best_prio.items() if c not in res.url_seen}
+        # 2. URL-seen anti-join (aged-out keys are schedulable again)
+        unseen = {
+            c: p
+            for c, p in best_prio.items()
+            if c not in seen_round
+            or (ttl_rounds is not None and rnd - seen_round[c] >= ttl_rounds)
+        }
         # 3. robots
         ok = {
             c: p for c, p in unseen.items() if allowed(host_of(c), path_of(c))
@@ -163,6 +174,7 @@ def simulate_crawl(
         candidates = []
         for rnd_, host, p, c, rank, slot in scheduled:
             res.url_seen.add(c)
+            seen_round[c] = rnd_
             html = page_by_canon.get(c)
             if html is None:
                 continue  # 404 analog

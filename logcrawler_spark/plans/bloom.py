@@ -181,6 +181,39 @@ def filter_not_seen(
         assert bucket_transform is None and not return_flagged
         return candidates.join(url_seen, on=keys, how="left_anti")
 
+    def _bloom_probe(bloom_pdf: pd.DataFrame, hs: np.ndarray) -> np.ndarray:
+        m_bits = int(bloom_pdf["m_bits"].iloc[0])
+        k = int(bloom_pdf["k"].iloc[0])
+        acc = np.zeros(m_bits // 8, dtype=np.uint8)
+        for blob in bloom_pdf["bloom"]:  # tolerate pre-merge duplicates
+            acc |= np.frombuffer(blob, dtype=np.uint8)
+        bits = np.unpackbits(acc)
+        pos = _positions(hs, m_bits, k)
+        return bits[pos].all(axis=1)
+
+    return cogroup_filter_not_seen(
+        candidates, url_seen, blooms, _bloom_probe, hash_col, keys,
+        n_buckets, bucket_transform, return_flagged,
+    )
+
+
+def cogroup_filter_not_seen(
+    candidates: DataFrame,
+    url_seen: DataFrame,
+    tables: DataFrame,
+    probe_rows_fn,
+    hash_col: str,
+    keys: list[str],
+    n_buckets: int,
+    bucket_transform=None,
+    return_flagged: bool = False,
+):
+    """Shared cogrouped-probe skeleton for any per-bucket membership filter
+    (Bloom, cuckoo, ...): candidates shuffle once on their hash bucket and
+    meet the bucket's filter row(s); ``probe_rows_fn(table_pdf, hashes)``
+    returns the maybe-seen mask; a missing bucket row means no seen keys.
+    The flagged frame is materialized once; maybe-seen rows are confirmed
+    by the exact anti-join."""
     from pyspark.sql.types import BooleanType
 
     from logcrawler_spark.utils import materialize
@@ -188,22 +221,15 @@ def filter_not_seen(
     out_cols = list(candidates.columns)
     flagged_schema = candidates.schema.add("__maybe", BooleanType())
 
-    def _probe(cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
+    def _probe(cand_pdf: pd.DataFrame, tbl_pdf: pd.DataFrame) -> pd.DataFrame:
         if bucket_transform is not None:
             cand_pdf = bucket_transform(cand_pdf)
         out = cand_pdf[out_cols].copy()
-        if bloom_pdf.empty:
-            out["__maybe"] = False  # no bloom row -> bucket has no seen keys
+        if tbl_pdf.empty:
+            out["__maybe"] = False  # no filter row -> bucket has no seen keys
             return out
-        m_bits = int(bloom_pdf["m_bits"].iloc[0])
-        k = int(bloom_pdf["k"].iloc[0])
-        acc = np.zeros(m_bits // 8, dtype=np.uint8)
-        for blob in bloom_pdf["bloom"]:  # tolerate pre-merge duplicates
-            acc |= np.frombuffer(blob, dtype=np.uint8)
-        bits = np.unpackbits(acc)
         hs = cand_pdf[hash_col].to_numpy().astype(np.uint64)
-        pos = _positions(hs, m_bits, k)
-        out["__maybe"] = bits[pos].all(axis=1)
+        out["__maybe"] = probe_rows_fn(tbl_pdf, hs)
         return out
 
     flagged = materialize(
@@ -211,7 +237,7 @@ def filter_not_seen(
             "__bucket", F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int")
         )
         .groupBy("__bucket")
-        .cogroup(blooms.groupBy("bucket"))
+        .cogroup(tables.groupBy("bucket"))
         .applyInPandas(_probe, schema=flagged_schema)
     )
     fresh = flagged.filter(~F.col("__maybe")).drop("__maybe")

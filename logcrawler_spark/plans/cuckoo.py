@@ -252,6 +252,38 @@ def delete_keys(
     return _updated(cuckoos, keys, hash_col, n_buckets, delete=True)
 
 
+def cuckoo_probe_rows(tbl_pdf: pd.DataFrame, hs: np.ndarray) -> np.ndarray:
+    """Probe callback for ``bloom.cogroup_filter_not_seen``."""
+    row = tbl_pdf.iloc[0]
+    table = np.frombuffer(row["table"], dtype=np.uint16).reshape(
+        int(row["m_rows"]), SLOTS_PER_ROW
+    )
+    return _probe_many(table, hs)
+
+
+def filter_not_seen_cuckoo(
+    candidates: DataFrame,
+    url_seen: DataFrame,
+    cuckoos: DataFrame,
+    hash_col: str = "url_hash",
+    key_cols: list[str] | None = None,
+    n_buckets: int = 32,
+    bucket_transform=None,
+    return_flagged: bool = False,
+):
+    """candidates minus url_seen with the cuckoo table as the prefilter —
+    same contract/plan shape as ``bloom.filter_not_seen`` (cogrouped bucket
+    probe, exact confirm of positives), plus deletion support upstream."""
+    from logcrawler_spark.plans.bloom import cogroup_filter_not_seen
+
+    assert n_buckets & (n_buckets - 1) == 0
+    keys = key_cols or [hash_col]
+    return cogroup_filter_not_seen(
+        candidates, url_seen, cuckoos, cuckoo_probe_rows, hash_col, keys,
+        n_buckets, bucket_transform, return_flagged,
+    )
+
+
 def probe_maybe_seen(
     candidates: DataFrame,
     cuckoos: DataFrame,

@@ -245,16 +245,47 @@ def crawl_round(
     bloom_buckets: int = 32,
     failure_rate_pct: int = 0,
     max_fetch_attempts: int = 3,
+    filter_kind: str = "bloom",
+    ttl_rounds: int | None = None,
 ) -> CrawlState:
     """Advance one round. ``pages_c`` = pages with canonical_url attached.
 
     ``failure_rate_pct`` > 0 turns on the S6 transient-failure simulation:
     each fetch attempt fails deterministically with that percent chance
     (hash of url x attempt), retried up to ``max_fetch_attempts``; retry
-    and permanent-failure counts land in the metrics table."""
+    and permanent-failure counts land in the metrics table.
+
+    ``filter_kind`` selects the URL-seen prefilter: "bloom" (append-only,
+    OR-mergeable) or "cuckoo" (supports deletion). ``ttl_rounds`` enables
+    recrawl: a URL seen at round s becomes schedulable again at round
+    s + ttl_rounds — its key is DELETED from the cuckoo filter when it
+    ages out (Bloom cannot express this, so TTL requires cuckoo), and the
+    exact confirm runs against only the un-aged url_seen rows."""
     from pyspark.sql import Observation
 
+    from logcrawler_spark.plans.cuckoo import (
+        build_cuckoo_table,
+        delete_keys,
+        filter_not_seen_cuckoo,
+        insert_keys,
+    )
+
+    if filter_kind not in ("bloom", "cuckoo"):
+        raise ValueError(f"unknown filter_kind {filter_kind!r}")
+    if ttl_rounds is not None and filter_kind != "cuckoo":
+        raise ValueError(
+            "ttl_rounds requires filter_kind='cuckoo' (Bloom cannot delete)"
+        )
+
     rnd = state.round_no + 1
+    # with TTL, rows seen at round <= rnd - ttl have aged out: they are
+    # schedulable again, so the exact membership set excludes them (keys
+    # re-seen later keep their newer row)
+    eff_seen = state.url_seen
+    if ttl_rounds is not None:
+        eff_seen = state.url_seen.filter(
+            F.col("first_seen_round") > rnd - ttl_rounds
+        )
     obs_cand = Observation(f"cand_{rnd}")
     keyed = canonicalize_candidates(
         state.candidates.observe(obs_cand, F.count(F.lit(1)).alias("n_raw"))
@@ -272,21 +303,37 @@ def crawl_round(
         standing = state.blooms
         if standing is None and state.round_no > 0:
             # bootstrap BEFORE the probe (resume from a catalog lacking a
-            # bloom table, or a use_bloom=False run resumed with True): the
-            # invariant is blooms ⊇ url_seen — probing an empty table here
-            # would mark every seen URL definitely-new and re-schedule it
+            # filter table, or a use_bloom=False run resumed with True): the
+            # invariant is filter ⊇ effective url_seen — probing an empty
+            # table here would mark every seen URL definitely-new and
+            # re-schedule it
+            build = (
+                build_cuckoo_table
+                if filter_kind == "cuckoo"
+                else build_bloom_table
+            )
             standing = _materialize(
-                build_bloom_table(state.url_seen, n_buckets=bloom_buckets)
+                build(eff_seen, n_buckets=bloom_buckets)
             )
-        blooms_in = standing
-        if blooms_in is None:  # round 1: nothing seen yet
-            blooms_in = keyed.sparkSession.createDataFrame(
-                [], "bucket int, bloom binary, n_items long, m_bits long, k int"
+        filter_in = standing
+        if filter_in is None:  # round 1: nothing seen yet
+            schema = (
+                "bucket int, table binary, m_rows long, n_items long,"
+                " n_kicked long"
+                if filter_kind == "cuckoo"
+                else "bucket int, bloom binary, n_items long, m_bits long,"
+                " k int"
             )
-        unseen, flagged = filter_not_seen(
+            filter_in = keyed.sparkSession.createDataFrame([], schema)
+        probe = (
+            filter_not_seen_cuckoo
+            if filter_kind == "cuckoo"
+            else filter_not_seen
+        )
+        unseen, flagged = probe(
             keyed,
-            state.url_seen,
-            blooms_in,
+            eff_seen,
+            filter_in,
             hash_col="url_hash",
             key_cols=["url_hash", "canonical_url"],
             n_buckets=bloom_buckets,
@@ -301,7 +348,7 @@ def crawl_round(
         )
         unseen = filter_not_seen(
             cand,
-            state.url_seen,
+            eff_seen,
             None,
             hash_col="url_hash",
             key_cols=["url_hash", "canonical_url"],
@@ -401,11 +448,26 @@ def crawl_round(
     # hashes, OR into the standing table — O(delta), not O(|url_seen|)
     new_blooms = state.blooms
     if use_bloom:
-        delta = build_bloom_table(
-            sched.select("url_hash"), n_buckets=bloom_buckets
-        )
-        # `standing` already covers url_seen (bootstrapped above if needed)
-        new_blooms = _materialize(merge_bloom_tables(standing, delta))
+        if filter_kind == "cuckoo":
+            # delete keys that aged out THIS round, then insert the round's
+            # newly-scheduled keys — both O(delta), per-bucket cogroups
+            upd = filter_in  # == standing, or the empty table in round 1
+            if ttl_rounds is not None:
+                aged = state.url_seen.filter(
+                    F.col("first_seen_round") == rnd - ttl_rounds
+                ).select("url_hash")
+                upd = delete_keys(upd, aged, n_buckets=bloom_buckets)
+            new_blooms = _materialize(
+                insert_keys(
+                    upd, sched.select("url_hash"), n_buckets=bloom_buckets
+                )
+            )
+        else:
+            delta = build_bloom_table(
+                sched.select("url_hash"), n_buckets=bloom_buckets
+            )
+            # `standing` already covers url_seen (bootstrapped if needed)
+            new_blooms = _materialize(merge_bloom_tables(standing, delta))
     round_metrics = (
         sched.groupBy("round", "host")
         .agg(
@@ -455,6 +517,8 @@ def run_crawl(
     bloom_buckets: int = 32,
     failure_rate_pct: int = 0,
     max_fetch_attempts: int = 3,
+    filter_kind: str = "bloom",
+    ttl_rounds: int | None = None,
 ) -> CrawlState:
     """Run ``rounds`` crawl rounds from the seed list.
 
@@ -480,13 +544,20 @@ def run_crawl(
             bloom_buckets=bloom_buckets,
             failure_rate_pct=failure_rate_pct,
             max_fetch_attempts=max_fetch_attempts,
+            filter_kind=filter_kind,
+            ttl_rounds=ttl_rounds,
         )
         if catalog is not None:
-            _commit_round(spark, catalog, state)
+            _commit_round(spark, catalog, state, filter_kind)
     return state
 
 
-def _commit_round(spark: SparkSession, catalog: Catalog, state: CrawlState) -> None:
+def _commit_round(
+    spark: SparkSession,
+    catalog: Catalog,
+    state: CrawlState,
+    filter_kind: str = "bloom",
+) -> None:
     """Commit one round's DELTAS + per-partition lineage rows (T1 analog:
     the reference's ``.images_extracted`` markers + log_status counts,
     ``06_extract_images.py:45-105``).
@@ -516,9 +587,9 @@ def _commit_round(spark: SparkSession, catalog: Catalog, state: CrawlState) -> N
         tag=rnd,
     )
     if state.blooms is not None:
-        # small (n_buckets rows); a crashed newer bloom is a SUPERSET of the
-        # marker's url_seen — safe, since positives are exact-confirmed
-        catalog.overwrite("url_seen_bloom", state.blooms)
+        # small (n_buckets rows); a crashed newer filter is a SUPERSET of
+        # the marker's url_seen — safe, since positives are exact-confirmed
+        catalog.overwrite(f"url_seen_{filter_kind}", state.blooms)
     lineage = (
         seen_delta.groupBy(
             F.pmod(F.col("url_hash"), F.lit(8)).alias("bucket")
@@ -545,6 +616,8 @@ def resume_crawl(
     bloom_buckets: int = 32,
     failure_rate_pct: int = 0,
     max_fetch_attempts: int = 3,
+    filter_kind: str = "bloom",
+    ttl_rounds: int | None = None,
 ) -> CrawlState:
     """Resume from the catalog's last committed round and finish the crawl.
 
@@ -567,8 +640,8 @@ def resume_crawl(
         metrics=catalog.read("metrics").filter(F.col("round") <= done),
         round_no=done,
         blooms=(
-            catalog.read("url_seen_bloom")
-            if catalog.exists("url_seen_bloom")
+            catalog.read(f"url_seen_{filter_kind}")
+            if catalog.exists(f"url_seen_{filter_kind}")
             else None
         ),
     )
@@ -578,6 +651,8 @@ def resume_crawl(
             bloom_buckets=bloom_buckets,
             failure_rate_pct=failure_rate_pct,
             max_fetch_attempts=max_fetch_attempts,
+            filter_kind=filter_kind,
+            ttl_rounds=ttl_rounds,
         )
-        _commit_round(spark, catalog, state)
+        _commit_round(spark, catalog, state, filter_kind)
     return state

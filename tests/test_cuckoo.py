@@ -83,3 +83,105 @@ def test_insert_into_missing_bucket_bootstraps(spark):
     updated = insert_keys(cuckoos, more, n_buckets=N_BUCKETS)
     got = _probe_map(seed.unionByName(more), updated)
     assert all(got.values())
+
+
+def test_crawl_with_cuckoo_filter_matches_bloom_and_simulator(spark):
+    """filter_kind='cuckoo' (no TTL) must produce EXACTLY the bloom run's
+    schedule, which in turn matches the pure-Python simulator."""
+    from logcrawler_spark.oracles.frontier_sim import simulate_crawl
+    from logcrawler_spark.plans.frontier import run_crawl
+    from logcrawler_spark.sources.pages import (
+        generate_pages,
+        generate_robots_rules,
+        generate_seeds,
+    )
+
+    pages = generate_pages(spark, "/root/testdata/sf0.001", 50)
+    seeds = generate_seeds(spark, "/root/testdata/sf0.001", 50)
+    robots = generate_robots_rules(spark, n_hosts=50)
+
+    def key(df):
+        return sorted(
+            (r["round"], r["host"], r["priority"], r["canonical_url"],
+             r["host_rank"], r["slot_ms"])
+            for r in df.collect()
+        )
+
+    ck = run_crawl(
+        spark, pages, seeds, robots, rounds=3, budget=5,
+        filter_kind="cuckoo",
+    )
+    bl = run_crawl(spark, pages, seeds, robots, rounds=3, budget=5)
+    assert key(ck.schedule) == key(bl.schedule)
+    sim = simulate_crawl(
+        pages.toPandas(), seeds.toPandas(), robots.toPandas(), 3, 5
+    )
+    assert key(ck.schedule) == sorted(
+        (t[0], t[1], t[2], t[3], t[4], t[5]) for t in sim.schedule
+    )
+
+
+def test_ttl_recrawl_matches_simulator_and_reschedules(spark):
+    """TTL aging: a URL seen at round s is schedulable again at s+ttl; the
+    engine (cuckoo delete + effective-seen confirm) must match the
+    simulator exactly, and at least one URL must actually be re-crawled."""
+    from logcrawler_spark.oracles.frontier_sim import simulate_crawl
+    from logcrawler_spark.plans.frontier import run_crawl
+    from logcrawler_spark.sources.pages import (
+        generate_pages,
+        generate_robots_rules,
+        generate_seeds,
+    )
+
+    pages = generate_pages(spark, "/root/testdata/sf0.001", 50)
+    seeds = generate_seeds(spark, "/root/testdata/sf0.001", 50)
+    robots = generate_robots_rules(spark, n_hosts=50)
+    rounds, budget, ttl = 5, 5, 2
+
+    st = run_crawl(
+        spark, pages, seeds, robots, rounds=rounds, budget=budget,
+        filter_kind="cuckoo", ttl_rounds=ttl,
+    )
+    got = sorted(
+        (r["round"], r["host"], r["priority"], r["canonical_url"],
+         r["host_rank"], r["slot_ms"])
+        for r in st.schedule.collect()
+    )
+    sim = simulate_crawl(
+        pages.toPandas(), seeds.toPandas(), robots.toPandas(),
+        rounds, budget, ttl_rounds=ttl,
+    )
+    want = sorted((t[0], t[1], t[2], t[3], t[4], t[5]) for t in sim.schedule)
+    assert got == want
+    # the TTL actually re-schedules something (otherwise this proves nothing)
+    from collections import Counter
+
+    counts = Counter(c for _r, _h, _p, c, _k, _s in got)
+    assert max(counts.values()) >= 2, "no URL was ever re-crawled"
+
+
+def test_ttl_requires_cuckoo(spark):
+    import pytest
+
+    from logcrawler_spark.plans.frontier import CrawlState, crawl_round
+
+    empty = spark.createDataFrame(
+        [], "url_hash long, canonical_url string, first_seen_round int"
+    )
+    seeds = spark.createDataFrame([("http://x.com/a", 1.0)],
+                                  "url string, priority double")
+    state = CrawlState(url_seen=empty, candidates=seeds)
+    with pytest.raises(ValueError, match="cuckoo"):
+        crawl_round(
+            state,
+            spark.createDataFrame(
+                [], "url string, warc_ts timestamp, html binary,"
+                " canonical_url string"
+            ),
+            spark.createDataFrame(
+                [], "host string, path_prefix string, allow boolean,"
+                " crawl_delay_ms long"
+            ),
+            budget=5,
+            ttl_rounds=2,
+        )
