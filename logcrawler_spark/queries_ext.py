@@ -977,3 +977,52 @@ def q_crawl_round(spark, sf_dir):
     return state.schedule.select(
         "round", "host", "canonical_url", "priority", "host_rank", "slot_ms"
     )
+
+
+@register("q_crawl_ttl_recrawl", fixture_sql("q_crawl_ttl_recrawl"))
+def q_crawl_ttl_recrawl(spark, sf_dir):
+    """The recrawl path as a pack entry: 4 rounds with a 2-round TTL on the
+    cuckoo-backed URL-seen filter — URLs seen at round s are schedulable
+    again at s+2, so the schedule legitimately repeats canonicals. Exact
+    oracle: the pure-Python simulator with the same TTL."""
+    from logcrawler_spark.oracles import write_fixture
+    from logcrawler_spark.oracles.frontier_sim import simulate_crawl
+    from logcrawler_spark.plans.frontier import run_crawl
+    from logcrawler_spark.sources.pages import (
+        generate_pages,
+        generate_robots_rules,
+        generate_seeds,
+    )
+
+    rounds, budget, ttl = 4, 5, 2
+    pages = generate_pages(spark, sf_dir, n_hosts=50)
+    seeds = generate_seeds(spark, sf_dir, n_hosts=50)
+    robots = generate_robots_rules(spark, n_hosts=50)
+
+    if oracle_applies(sf_dir):
+        sim = simulate_crawl(
+            pages.toPandas(), seeds.toPandas(), robots.toPandas(),
+            rounds=rounds, budget=budget, ttl_rounds=ttl,
+        )
+        expected = pd.DataFrame(
+            sim.schedule,
+            columns=["round", "host", "priority", "canonical_url",
+                     "host_rank", "slot_ms"],
+        )[["round", "host", "canonical_url", "priority", "host_rank",
+           "slot_ms"]]
+        write_fixture(
+            "q_crawl_ttl_recrawl",
+            sf_dir,
+            expected.astype(
+                {"round": "int32", "priority": "float64",
+                 "host_rank": "int32", "slot_ms": "int64"}
+            ),
+        )
+
+    state = run_crawl(
+        spark, pages, seeds, robots, rounds=rounds, budget=budget,
+        filter_kind="cuckoo", ttl_rounds=ttl,
+    )
+    return state.schedule.select(
+        "round", "host", "canonical_url", "priority", "host_rank", "slot_ms"
+    )
