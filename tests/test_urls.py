@@ -87,3 +87,52 @@ def test_host_extraction(spark):
         [("http://u@HOST.Example.ORG.:8080/p",)], "url string"
     )
     assert df.select(url_host(F.col("url"))).collect()[0][0] == "host.example.org"
+
+
+def test_canonicalize_fuzz_agreement_spark_vs_simulator(spark):
+    """Seeded fuzz over realistic web URLs: the Spark expression pipeline
+    and the pure-Python simulator must canonicalize IDENTICALLY — any
+    divergence corrupts the URL-seen keying. Grammar: http/https, cased
+    hosts, trailing host dots, userinfo, default/explicit ports, duplicate
+    slashes, query param orderings/empties, fragments."""
+    import random
+
+    rng = random.Random(42)
+    schemes = ["http", "https", "HTTP", "Http"]
+    hosts = [
+        "example.com", "EXAMPLE.com", "Sub.Example.COM", "host7.example.net",
+        "example.com.", "xn--bcher-kva.example", "a.b.c.d.example.org",
+    ]
+    users = ["", "", "", "user@", "u:p@"]
+    ports = ["", "", ":80", ":443", ":8080", ":8443"]
+    paths = [
+        "", "/", "/a", "/a/b/c", "//a", "/a//b", "/a///b//", "/d13/p5",
+        "/a.b/c.d", "/%7Euser/x",
+    ]
+    queries = [
+        "", "?b=2&a=1", "?a=1&b=2&", "?z=9", "?a=1&&b=2", "?single",
+        "?b=2&a=1&a=0",
+    ]
+    frags = ["", "#frag", "#a/b?c=1"]
+
+    urls = []
+    for _ in range(600):
+        urls.append(
+            rng.choice(schemes) + "://" + rng.choice(users)
+            + rng.choice(hosts) + rng.choice(ports) + rng.choice(paths)
+            + rng.choice(queries) + rng.choice(frags)
+        )
+
+    from logcrawler_spark.functions.urls import canonicalize_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: r["c"]
+        for r in df.select(
+            "url", canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    mismatches = [
+        (u, got[u], o.canonicalize(u)) for u in urls if got[u] != o.canonicalize(u)
+    ]
+    assert not mismatches, mismatches[:5]
