@@ -166,3 +166,38 @@ def test_decode_payloads_spark_matches_independent_oracle(spark, tmp_path):
     want = {(fn, nm): js for fn, nm, js in decode_framed_payloads_py(blob)}
     assert got == want
     assert got[(2, "Mystery")] is None
+
+
+def test_payload_codec_roundtrip_property():
+    """Property: encode->decode is identity (minus redaction) for any
+    representable value assignment."""
+    from hypothesis import given, settings, strategies as st
+
+    from logcrawler_spark.sources.payload_codec import (
+        decode_payload_dict,
+        encode_payload,
+    )
+
+    f32_exact = st.integers(min_value=-2**20, max_value=2**20).map(
+        lambda n: n / 1024.0  # exact in float32 AND float64
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        doc_id=st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        score=st.floats(allow_nan=False, allow_infinity=False, width=64),
+        weights=st.lists(f32_exact, min_size=0, max_size=20),
+        debug=st.text(max_size=50),
+    )
+    def check(doc_id, score, weights, debug):
+        vals = {
+            "doc_id": doc_id, "score": score, "weights": weights,
+            "debug": debug,
+        }
+        payload = encode_payload("Scores", vals)
+        got = decode_payload_dict("Scores", payload)
+        assert got == {
+            "doc_id": doc_id, "score": score, "weights": weights
+        }
+
+    check()
