@@ -382,6 +382,88 @@ def q_tree_flatten(spark, sf_dir):
     return flatten_tree(inp)
 
 
+@register("q_warc_scan", fixture_sql("q_warc_scan"))
+def q_warc_scan(spark, sf_dir):
+    """S2 in the crawl's native container: a deterministic multi-member
+    ``.warc.gz`` (Common Crawl layout) synthesized from the documents
+    table, scanned via binaryFile + the mapInPandas record walk into typed
+    (url, type, length, payload-md5) rows.
+
+    Exact oracle: an independent line-cursor parser + gzip-module
+    decompression (``oracles/warc_sim.py``) over the same file bytes."""
+    import gzip
+    import hashlib
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from logcrawler_spark.oracles import write_fixture
+    from logcrawler_spark.oracles.warc_sim import (
+        gunzip_members_py,
+        parse_warc_py,
+    )
+    from logcrawler_spark.sources.warc import read_warc, write_warc_bytes
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+        .collect()
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"warc_q_{os.path.basename(sf_dir)}.warc.gz"
+    )
+    if not os.path.exists(path):
+        recs = [
+            {
+                "warc_type": "response" if r["doc_id"] % 5 else "request",
+                "url": f"http://host{r['doc_id'] % 7}.example.com/w/"
+                f"{r['doc_id']}",
+                "warc_date": "2024-01-01T00:00:00Z",
+                "payload": (r["text"] or "").encode(),
+            }
+            for r in sorted(docs, key=lambda r: r["doc_id"])
+        ]
+        # two gzip MEMBERS concatenated — the Common Crawl per-record-gzip
+        # shape the reader must transparently join
+        half = len(recs) // 2
+        blob = gzip.compress(write_warc_bytes(recs[:half])) + gzip.compress(
+            write_warc_bytes(recs[half:])
+        )
+        with open(path + ".tmp", "wb") as f:
+            f.write(blob)
+        os.replace(path + ".tmp", path)
+
+    if oracle_applies(sf_dir):
+        with open(path, "rb") as f:
+            raw = f.read()
+        expected = [
+            (idx, t, url, length, hashlib.md5(payload).hexdigest())
+            for idx, t, url, _date, length, payload in parse_warc_py(
+                gunzip_members_py(raw)
+            )
+        ]
+        write_fixture(
+            "q_warc_scan",
+            sf_dir,
+            pd.DataFrame(
+                expected,
+                columns=["record_index", "warc_type", "url",
+                         "content_length", "fp"],
+            ).astype({"record_index": "int64", "content_length": "int64"}),
+        )
+
+    w = read_warc(spark, path)
+    return w.select(
+        "record_index",
+        "warc_type",
+        "url",
+        "content_length",
+        F.md5(F.col("payload")).alias("fp"),
+    )
+
+
 @register("q_binlog_decode", fixture_sql("q_binlog_decode"))
 def q_binlog_decode(spark, sf_dir):
     """S2->C9 lifecycle: framed-log payloads decoded into canonical-JSON

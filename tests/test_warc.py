@@ -1,0 +1,80 @@
+"""WARC source vs the independent line-cursor oracle: plain + multi-member
+gzip, truncation policy, byte-exact payloads."""
+
+from __future__ import annotations
+
+import gzip
+
+from logcrawler_spark.oracles.warc_sim import gunzip_members_py, parse_warc_py
+from logcrawler_spark.sources.warc import (
+    _gunzip_members,
+    parse_warc_bytes,
+    read_warc,
+    write_warc_bytes,
+)
+
+
+def _recs(n=5):
+    return [
+        {
+            "warc_type": "response",
+            "url": f"http://h{i}.example.com/p{i}",
+            "warc_date": "2024-01-01T00:00:00Z",
+            "payload": (f"body-{i} " * (i + 1)).encode(),
+        }
+        for i in range(n)
+    ]
+
+
+def test_parser_matches_independent_oracle():
+    blob = write_warc_bytes(_recs(8))
+    assert parse_warc_bytes(blob) == parse_warc_py(blob)
+
+
+def test_truncated_tail_dropped_both_sides():
+    blob = write_warc_bytes(_recs(4))
+    cut = blob[: len(blob) - 30]  # cut into the last record's payload
+    got = parse_warc_bytes(cut)
+    want = parse_warc_py(cut)
+    assert got == want
+    assert len(got) == 3
+
+
+def test_payload_with_embedded_separator_survives():
+    recs = _recs(2)
+    recs[0]["payload"] = b"a\r\n\r\nWARC/1.0\r\nfake\r\n\r\nb"
+    blob = write_warc_bytes(recs)
+    got = parse_warc_bytes(blob)
+    assert got == parse_warc_py(blob)
+    assert len(got) == 2
+    assert got[0][5] == recs[0]["payload"]
+
+
+def test_multi_member_gzip_decompression_matches():
+    recs = _recs(6)
+    blob = gzip.compress(write_warc_bytes(recs[:3])) + gzip.compress(
+        write_warc_bytes(recs[3:])
+    )
+    a = _gunzip_members(blob)
+    b = gunzip_members_py(blob)
+    assert a == b
+    assert len(parse_warc_bytes(a)) == 6
+
+
+def test_read_warc_spark_plain_and_gz(spark, tmp_path):
+    recs = _recs(5)
+    plain = tmp_path / "a.warc"
+    plain.write_bytes(write_warc_bytes(recs))
+    gz = tmp_path / "b.warc.gz"
+    gz.write_bytes(
+        gzip.compress(write_warc_bytes(recs[:2]))
+        + gzip.compress(write_warc_bytes(recs[2:]))
+    )
+    for p in (str(plain), str(gz)):
+        rows = sorted(
+            read_warc(spark, p).collect(), key=lambda r: r["record_index"]
+        )
+        assert [r["url"] for r in rows] == [r["url"] for r in recs]
+        assert [bytes(r["payload"]) for r in rows] == [
+            r["payload"] for r in recs
+        ]
