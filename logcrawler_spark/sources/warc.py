@@ -124,6 +124,22 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
     )
 
 
+def pages_from_warc(spark: SparkSession, path_glob: str) -> DataFrame:
+    """WARC response records -> the crawl engine's pages input table
+    (url, warc_ts, html) per BASELINE.json's input_hint — the ingest path
+    from raw Common Crawl archives into ``plans.frontier.run_crawl``."""
+    from pyspark.sql import functions as F
+
+    w = read_warc(spark, path_glob)
+    return w.filter(F.col("warc_type") == "response").select(
+        F.col("url"),
+        F.to_timestamp(
+            F.col("warc_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+        ).alias("warc_ts"),
+        F.col("payload").alias("html"),
+    )
+
+
 def write_warc_bytes(records: list[dict]) -> bytes:
     """Serialize records (dicts with warc_type/url/warc_date/payload) —
     used by tests and the synthetic-fixture queries."""

@@ -78,3 +78,53 @@ def test_read_warc_spark_plain_and_gz(spark, tmp_path):
         assert [bytes(r["payload"]) for r in rows] == [
             r["payload"] for r in recs
         ]
+
+
+def test_crawl_from_warc_ingest_matches_direct_pages(spark, tmp_path):
+    """End-to-end: pages round-tripped through a multi-member .warc.gz must
+    drive run_crawl to EXACTLY the schedule the direct pages table yields."""
+    from pyspark.sql import functions as F
+
+    from logcrawler_spark.plans.frontier import run_crawl
+    from logcrawler_spark.sources.pages import (
+        generate_pages,
+        generate_robots_rules,
+        generate_seeds,
+    )
+    from logcrawler_spark.sources.warc import pages_from_warc
+
+    pages = generate_pages(spark, "/root/testdata/sf0.001", 50)
+    seeds = generate_seeds(spark, "/root/testdata/sf0.001", 50)
+    robots = generate_robots_rules(spark, n_hosts=50)
+
+    rows = pages.select("url", "warc_ts", "html").collect()
+    recs = [
+        {
+            "warc_type": "response",
+            "url": r["url"],
+            "warc_date": r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ"),
+            "payload": bytes(r["html"]),
+        }
+        for r in rows
+    ]
+    half = len(recs) // 2
+    p = tmp_path / "corpus.warc.gz"
+    p.write_bytes(
+        gzip.compress(write_warc_bytes(recs[:half]))
+        + gzip.compress(write_warc_bytes(recs[half:]))
+    )
+    ingested = pages_from_warc(spark, str(p))
+    # byte-identical html after the round trip
+    direct = {r["url"]: bytes(r["html"]) for r in rows}
+    back = {r["url"]: bytes(r["html"]) for r in ingested.collect()}
+    assert back == direct
+
+    def key(st):
+        return sorted(
+            (r["round"], r["canonical_url"], r["host_rank"], r["slot_ms"])
+            for r in st.schedule.collect()
+        )
+
+    a = run_crawl(spark, ingested, seeds, robots, rounds=2, budget=5)
+    b = run_crawl(spark, pages, seeds, robots, rounds=2, budget=5)
+    assert key(a) == key(b)
