@@ -97,30 +97,51 @@ def parse_warc_bytes(blob: bytes) -> list[tuple]:
     return out
 
 
+def _split_warc_files(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows: list[tuple] = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            blob = bytes(content)
+            if path.endswith(".gz"):
+                blob = _gunzip_members(blob)
+            for rec in parse_warc_bytes(blob):
+                rows.append((path, *rec))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "path", "record_index", "warc_type", "url",
+                "warc_date", "content_length", "payload",
+            ],
+        )
+
+
 def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
     """WARC scan -> (path, record_index, warc_type, url, warc_date,
     content_length, payload)."""
     files = spark.read.format("binaryFile").load(path_glob)
-
-    def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows: list[tuple] = []
-            for path, content in zip(pdf["path"], pdf["content"]):
-                blob = bytes(content)
-                if path.endswith(".gz"):
-                    blob = _gunzip_members(blob)
-                for rec in parse_warc_bytes(blob):
-                    rows.append((path, *rec))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "path", "record_index", "warc_type", "url",
-                    "warc_date", "content_length", "payload",
-                ],
-            )
-
     return files.select("path", "content").mapInPandas(
-        split, schema=WARC_SCHEMA
+        _split_warc_files, schema=WARC_SCHEMA
+    )
+
+
+def stream_warc(spark: SparkSession, path_dir: str) -> DataFrame:
+    """Streaming WARC ingest: archives dropped into ``path_dir`` surface as
+    record rows micro-batch by micro-batch (same kernel as the batch scan —
+    the T5 continuous-ingest twin; the file-source checkpoint gives
+    exactly-once per archive)."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long,"
+            " content binary"
+        )
+        .option("pathGlobFilter", "*.warc*")
+        .load(path_dir)
+    )
+    return files.select("path", "content").mapInPandas(
+        _split_warc_files, schema=WARC_SCHEMA
     )
 
 

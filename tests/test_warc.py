@@ -128,3 +128,41 @@ def test_crawl_from_warc_ingest_matches_direct_pages(spark, tmp_path):
     a = run_crawl(spark, ingested, seeds, robots, rounds=2, budget=5)
     b = run_crawl(spark, pages, seeds, robots, rounds=2, budget=5)
     assert key(a) == key(b)
+
+
+def test_streaming_warc_ingest_equals_batch(spark, tmp_path):
+    """Archives dropped into a dir stream out micro-batch by micro-batch
+    and accumulate to EXACTLY the batch scan's rows (T5 continuous-ingest
+    twin, exactly-once per archive via the file-source checkpoint)."""
+    from logcrawler_spark.sources.warc import read_warc, stream_warc
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    recs = _recs(6)
+    (src / "a.warc").write_bytes(write_warc_bytes(recs[:3]))
+    (src / "b.warc.gz").write_bytes(gzip.compress(write_warc_bytes(recs[3:])))
+
+    q = (
+        stream_warc(spark, str(src))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("warc_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        (r["path"].rsplit("/", 1)[-1], r["record_index"], r["url"],
+         bytes(r["payload"]))
+        for r in spark.sql("SELECT * FROM warc_stream").collect()
+    )
+    want = sorted(
+        (r["path"].rsplit("/", 1)[-1], r["record_index"], r["url"],
+         bytes(r["payload"]))
+        for r in read_warc(spark, str(src) + "/*.warc*").collect()
+    )
+    assert got == want and len(got) == 6
