@@ -37,3 +37,81 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 from logcrawler_spark import queries_core  # noqa: E402,F401
 from logcrawler_spark import queries_ext  # noqa: E402,F401
 from logcrawler_spark import queries_more  # noqa: E402,F401
+
+# The driver's correctness gate checks at most the FIRST 50 registered
+# entries (CORRECTNESS_r02.json = registrations 1-50 exactly), so dict
+# order is part of the contract. Reorder explicitly: every unique operator
+# family inside the window, most-critical first; redundant variants (whose
+# operator row is already driver-covered by another entry) after position
+# 50 — they stay in the local replica gate (tests/test_oracle_parity.py).
+_PRIORITY = [
+    # flagship crawl semantics
+    "q_crawl_round",
+    "q_crawl_ttl_recrawl",
+    # binary/container sources + kernels (driver-unchecked in r02)
+    "q_binlog_scan",
+    "q_warc_scan",
+    "q_binlog_decode",
+    "q_image_stats",
+    "q_tree_flatten",
+    "q_map_ops",
+    "q_metadata_counts",
+    # LLM-training-data pipeline
+    "q_dedup_exact",
+    "q_minhash_lsh_pairs",
+    "q_ngram_jaccard_pairs",
+    "q_simhash_pairs",
+    "q_embedding_dup_pairs",
+    "q_ann_topk_bruteforce",
+    "q_ann_topk_lsh",
+    "q_ann_topk_ivf",
+    "q_ann_topk_ivf_kmeans",
+    "q_text_stats",
+    "q_lang_id",
+    "q_multimodal_meta",
+    "q_corpus_curation",
+    "q_surt_canonicalize",
+    # crawl-adjacent operators
+    "q_politeness_window",
+    "q_event_window_agg",
+    "q_asof_nearest",
+    "q_interval_overlap",
+    "q_argmax_overlap",
+    "q_fuzzy_match",
+    "q_dedup_lww",
+    # core relational pack
+    "q_pricing_summary",
+    "q_filter_pushdown",
+    "q_event_aggs",
+    "q_broadcast_lookup",
+    "q_merge_join_large",
+    "q_left_lookup_sentinel",
+    "q_composite_key_join",
+    "q_existence_gate",
+    "q_top_revenue_orders",
+    "q_window_lag_fill",
+    "q_parity_tag",
+    "q_topk_per_group",
+    "q_set_ops",
+    "q_scalar_pack",
+    "q_json_extract",
+    "q_moments_maxby",
+    "q_count_gate",
+    "q_word_freq",
+    "q_geometry_bbox",
+    "q_line_extract",
+]
+
+
+def _reorder() -> None:
+    missing = [n for n in _PRIORITY if n not in QUERIES]
+    assert not missing, f"priority entries not registered: {missing}"
+    assert len(_PRIORITY) <= 50, f"priority window overflow: {len(_PRIORITY)}"
+    rest = [n for n in QUERIES if n not in set(_PRIORITY)]
+    for d in (QUERIES, ORACLE_SQL):
+        ordered = {n: d[n] for n in [*_PRIORITY, *rest] if n in d}
+        d.clear()
+        d.update(ordered)
+
+
+_reorder()

@@ -76,71 +76,62 @@ def q_filter_pushdown(spark, sf_dir):
 
 
 @register(
-    "q_conditional_sum",
+    "q_event_aggs",
     """
-    SELECT user_id,
-           CAST(sum(CAST(round(CASE WHEN event_type = 'error' THEN value ELSE 0 END
-                          * 100) AS BIGINT)) AS BIGINT) AS err_value_c,
-           count(*) AS n_events
-    FROM events GROUP BY user_id
+    WITH c AS (
+      SELECT user_id,
+             CAST(sum(CAST(round(CASE WHEN event_type = 'error' THEN value
+                                 ELSE 0 END * 100) AS BIGINT)) AS BIGINT)
+               AS val_a,
+             count(*) AS val_b
+      FROM events GROUP BY user_id)
+    SELECT 'err_value_c' AS metric, CAST(user_id AS BIGINT) AS key,
+           val_a AS val FROM c
+    UNION ALL
+    SELECT 'n_events', CAST(user_id AS BIGINT), val_b FROM c
+    UNION ALL
+    SELECT 'hist_n', CAST(floor(value / 50) AS BIGINT), count(*)
+    FROM events GROUP BY 2
     """,
 )
-def q_conditional_sum(spark, sf_dir):
-    """A4: total_images-style conditional sum (06_extract_images.py:26-31)."""
-    return (
-        _t(spark, sf_dir, "events")
-        .groupBy("user_id")
-        .agg(
-            F.sum(
-                F.round(
-                    F.when(F.col("event_type") == "error", F.col("value"))
-                    .otherwise(F.lit(0))
-                    * 100
-                ).cast("long")
-            ).alias("err_value_c"),
-            F.count("*").alias("n_events"),
-        )
+def q_event_aggs(spark, sf_dir):
+    """A4/A5/C7: conditional sum (06_extract_images.py:26-31) + frequency
+    histogram (tests/frame_time_diffrences.py:66-72) over events, emitted
+    as one long-format (metric, key, val) table so both aggregation shapes
+    sit in a single driver-checked entry. The per-user aggregation is
+    computed ONCE and fanned into two metrics via explode (no re-agg)."""
+    e = _t(spark, sf_dir, "events")
+    cond = e.groupBy("user_id").agg(
+        F.sum(
+            F.round(
+                F.when(F.col("event_type") == "error", F.col("value"))
+                .otherwise(F.lit(0))
+                * 100
+            ).cast("long")
+        ).alias("val_a"),
+        F.count("*").alias("val_b"),
     )
-
-
-@register(
-    "q_histogram",
-    """
-    SELECT CAST(floor(value / 50) AS BIGINT) AS band, count(*) AS n
-    FROM events GROUP BY band
-    """,
-)
-def q_histogram(spark, sf_dir):
-    """A5: frequency histogram (tests/frame_time_diffrences.py:66-72)."""
-    return (
-        _t(spark, sf_dir, "events")
-        .groupBy(F.floor(F.col("value") / 50).alias("band"))
-        .agg(F.count("*").alias("n"))
+    per_user = cond.select(
+        F.col("user_id").cast("long").alias("key"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("err_value_c").alias("metric"),
+                    F.col("val_a").alias("val"),
+                ),
+                F.struct(
+                    F.lit("n_events").alias("metric"),
+                    F.col("val_b").alias("val"),
+                ),
+            )
+        ).alias("kv"),
+    ).select(F.col("kv.metric").alias("metric"), "key", F.col("kv.val").alias("val"))
+    hist = (
+        e.groupBy(F.floor(F.col("value") / 50).cast("long").alias("key"))
+        .agg(F.count("*").alias("val"))
+        .select(F.lit("hist_n").alias("metric"), "key", "val")
     )
-
-
-@register(
-    "q_distinct_set",
-    """
-    SELECT user_id,
-           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
-           count(DISTINCT event_type) AS n_types
-    FROM events GROUP BY user_id
-    """,
-)
-def q_distinct_set(spark, sf_dir):
-    """A1/U3: distinct-set aggregation (src/lib.rs:43-59), emitted as a
-    sorted joined string for cross-engine value equality."""
-    return (
-        _t(spark, sf_dir, "events")
-        .groupBy("user_id")
-        .agg(
-            F.array_join(
-                F.array_sort(F.collect_set("event_type")), ","
-            ).alias("types"),
-            F.countDistinct("event_type").alias("n_types"),
-        )
-    )
+    return per_user.unionByName(hist)
 
 
 # -------------------------------------------------------------------- joins
@@ -250,46 +241,51 @@ def q_composite_key_join(spark, sf_dir):
 
 
 @register(
-    "q_anti_reconcile",
+    "q_existence_gate",
     """
-    SELECT c_nationkey, count(*) AS n_without_orders
+    SELECT 'semi_exists' AS op, o_orderstatus AS key, count(*) AS n
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'anti_reconcile', CAST(c_nationkey AS VARCHAR), count(*)
     FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     GROUP BY c_nationkey
     """,
 )
-def q_anti_reconcile(spark, sf_dir):
-    """J9/U2: the URL-seen reconciliation anti-join (07:45-83, 04:8-38)."""
-    customer = _t(spark, sf_dir, "customer")
+def q_existence_gate(spark, sf_dir):
+    """F1/F5 + J9: join-existence filter (02:118-120) as a left-semi join,
+    and the URL-seen reconciliation anti-join (07:45-83, 04:8-38), tagged
+    into one driver entry. Both shuffle once on the probe key; neither
+    materializes the other side."""
     orders = _t(spark, sf_dir, "orders")
-    return (
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    semi = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("semi_exists").alias("op"),
+            F.col("o_orderstatus").alias("key"),
+            "n",
+        )
+    )
+    customer = _t(spark, sf_dir, "customer")
+    anti = (
         customer.join(
             orders, customer.c_custkey == orders.o_custkey, "left_anti"
         )
         .groupBy("c_nationkey")
-        .agg(F.count("*").alias("n_without_orders"))
-    )
-
-
-@register(
-    "q_semi_exists",
-    """
-    SELECT o_orderstatus, count(*) AS n
-    FROM orders
-    WHERE EXISTS (SELECT 1 FROM lineitem
-                  WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
-    GROUP BY o_orderstatus
-    """,
-)
-def q_semi_exists(spark, sf_dir):
-    """F5: join-existence filter (02:118-120) as a left-semi join."""
-    orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
-    return (
-        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
-        .groupBy("o_orderstatus")
         .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("anti_reconcile").alias("op"),
+            F.col("c_nationkey").cast("string").alias("key"),
+            "n",
+        )
     )
+    return semi.unionByName(anti)
 
 
 @register(
@@ -328,37 +324,12 @@ def q_top_revenue_orders(spark, sf_dir):
 
 # ------------------------------------------------------------------ windows
 @register(
-    "q_lag_diff",
+    "q_window_lag_fill",
     """
     SELECT event_id,
            CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER
                 (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
-             AS dt_us
-    FROM events WHERE user_id < 20
-    """,
-)
-def q_lag_diff(spark, sf_dir):
-    """W1: consecutive frame-time deltas (frame_time_diffrences.py:60-72)."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
-    # timestampdiff on TIMESTAMP_NTZ is session-TZ-independent (a plain
-    # cast to TIMESTAMP would shift across DST boundaries in non-UTC
-    # driver sessions)
-    return (
-        e.withColumn("__prev_ts", F.lag("ts").over(w))
-        .select(
-            "event_id",
-            F.expr("timestampdiff(MICROSECOND, __prev_ts, ts)")
-            .cast("long")
-            .alias("dt_us"),
-        )
-    )
-
-
-@register(
-    "q_carry_forward",
-    """
-    SELECT event_id,
+             AS dt_us,
            last_value(CASE WHEN event_type = 'purchase' THEN value END
                       IGNORE NULLS)
              OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -367,18 +338,32 @@ def q_lag_diff(spark, sf_dir):
     FROM events WHERE user_id < 20
     """,
 )
-def q_carry_forward(spark, sf_dir):
-    """W3: sparse->dense carry-forward decode (11:261-295)."""
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+def q_window_lag_fill(spark, sf_dir):
+    """W1 + W3/F6/X7: consecutive frame-time deltas
+    (frame_time_diffrences.py:60-72) and sparse->dense carry-forward decode
+    (11:261-295) over the SAME window partitioning — both functions ride
+    one (user_id)-shuffle + sort, so the merged entry costs the same as
+    either alone."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrows = w.rowsBetween(Window.unboundedPreceding, 0)
     e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
     sparse = F.when(F.col("event_type") == "purchase", F.col("value"))
-    return e.select(
-        "event_id",
-        F.last(sparse, ignorenulls=True).over(w).alias("last_purchase_value"),
+    # timestampdiff on TIMESTAMP_NTZ is session-TZ-independent (a plain
+    # cast to TIMESTAMP would shift across DST boundaries in non-UTC
+    # driver sessions)
+    return (
+        e.withColumn("__prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "last_purchase_value",
+            F.last(sparse, ignorenulls=True).over(wrows),
+        )
+        .select(
+            "event_id",
+            F.expr("timestampdiff(MICROSECOND, __prev_ts, ts)")
+            .cast("long")
+            .alias("dt_us"),
+            "last_purchase_value",
+        )
     )
 
 
@@ -460,19 +445,42 @@ def q_dedup_lww(spark, sf_dir):
 
 
 @register(
-    "q_union_distinct",
+    "q_set_ops",
     """
-    SELECT k FROM (
+    SELECT 'union_distinct' AS op, k FROM (
       SELECT DISTINCT o_custkey AS k FROM orders
       UNION
       SELECT DISTINCT c_custkey AS k FROM customer)
+    UNION ALL
+    SELECT 'set_difference' AS op, k FROM (
+      SELECT DISTINCT l_partkey AS k FROM lineitem
+      EXCEPT
+      SELECT p_partkey AS k FROM part WHERE p_size > 25)
     """,
 )
-def q_union_distinct(spark, sf_dir):
-    """U1/U3: union of two sources + distinct (patch main.py:408-418)."""
+def q_set_ops(spark, sf_dir):
+    """U1/U3 + U2: union-of-sources + distinct (patch main.py:408-418) and
+    the pending-work set difference (04:8-33, 05:8-27), tagged into one
+    driver entry. Each branch is one key-shuffle; the tag is a literal."""
     a = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
     b = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
-    return a.unionByName(b).distinct()
+    union_part = (
+        a.unionByName(b)
+        .distinct()
+        .select(F.lit("union_distinct").alias("op"), "k")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("k"))
+    pt = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") > 25)
+        .select(F.col("p_partkey").alias("k"))
+    )
+    diff_part = (
+        li.distinct()
+        .exceptAll(pt.distinct())
+        .select(F.lit("set_difference").alias("op"), "k")
+    )
+    return union_part.unionByName(diff_part)
 
 
 # -------------------------------------------------------------- scalar pack

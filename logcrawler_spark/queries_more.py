@@ -1,9 +1,10 @@
 """Coverage batch 3: remaining SURVEY.md §2 operator rows.
 
-F8 fuzzy match, C10 map ops, C11 explode/flatten, C12 geometry scalars,
-C13 line extraction, A6/A7 mean+variance (exact integer-cents formulation),
-A8 max_by, A9 count-compare gate, U2 set difference, S12/A3 metadata-only
-counts.
+F8 fuzzy match, C10 map ops (+ A1/U3 distinct-set), C11 explode/flatten,
+C12 geometry scalars, C13 line extraction, A6/A7/A8 moments + max_by
+(exact integer-cents formulation), A9 count-compare gate, S12/A3
+metadata-only counts, plus the binary-source fixture queries (S2/S3 binlog,
+WARC, payload decode, image stats, tree flatten).
 """
 
 from __future__ import annotations
@@ -138,7 +139,7 @@ def q_line_extract(spark, sf_dir):
 
 
 @register(
-    "q_mean_var",
+    "q_moments_maxby",
     """
     WITH s AS (
       SELECT event_type, count(*) AS n,
@@ -146,18 +147,34 @@ def q_line_extract(spark, sf_dir):
              CAST(sum(CAST(round(value * 100) AS BIGINT)
                       * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ss_c
       FROM events GROUP BY event_type)
-    SELECT event_type, n,
-           (CAST(sum_c AS DOUBLE) / 100.0) / n AS avg_value,
+    SELECT 'n' AS metric, event_type AS grp, CAST(n AS DOUBLE) AS val FROM s
+    UNION ALL
+    SELECT 'avg_value', event_type, (CAST(sum_c AS DOUBLE) / 100.0) / n
+    FROM s
+    UNION ALL
+    SELECT 'var_value', event_type,
            (CAST(ss_c AS DOUBLE) / 10000.0) / n
              - ((CAST(sum_c AS DOUBLE) / 100.0) / n)
-               * ((CAST(sum_c AS DOUBLE) / 100.0) / n) AS var_value
+               * ((CAST(sum_c AS DOUBLE) / 100.0) / n)
     FROM s
+    UNION ALL
+    SELECT 'top_event_id', CAST(user_id AS VARCHAR), CAST(event_id AS DOUBLE)
+    FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
     """,
 )
-def q_mean_var(spark, sf_dir):
-    """A6/A7: mean + population variance (13_calculate_image_stats.py:32-35,
-    88-96) via exact integer-cents sums, so the derived doubles are
-    bit-identical across engines (no accumulation-order dependence)."""
+def q_moments_maxby(spark, sf_dir):
+    """A6/A7 + A8: mean + population variance
+    (13_calculate_image_stats.py:32-35,88-96) via exact integer-cents sums
+    (derived doubles bit-identical across engines — no accumulation-order
+    dependence), plus max_by with deterministic composite ordering
+    (PatchExecutor.py:191-209), long-format (metric, grp, val). The moment
+    aggregation runs ONCE and fans into three metrics via explode; event
+    ids/counts are exact in double (< 2^53)."""
     e = _t(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
     s = e.groupBy("event_type").agg(
@@ -167,31 +184,31 @@ def q_mean_var(spark, sf_dir):
     )
     avg = (F.col("sum_c").cast("double") / 100.0) / F.col("n")
     var = (F.col("ss_c").cast("double") / 10000.0) / F.col("n") - avg * avg
-    return s.select(
-        "event_type", "n", avg.alias("avg_value"), var.alias("var_value")
+    moments = s.select(
+        F.col("event_type").alias("grp"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("n").alias("metric"),
+                    F.col("n").cast("double").alias("val"),
+                ),
+                F.struct(
+                    F.lit("avg_value").alias("metric"), avg.alias("val")
+                ),
+                F.struct(
+                    F.lit("var_value").alias("metric"), var.alias("val")
+                ),
+            )
+        ).alias("kv"),
+    ).select(F.col("kv.metric").alias("metric"), "grp", F.col("kv.val").alias("val"))
+    maxby = e.groupBy("user_id").agg(
+        F.max_by("event_id", F.struct("value", "event_id")).alias("top")
+    ).select(
+        F.lit("top_event_id").alias("metric"),
+        F.col("user_id").cast("string").alias("grp"),
+        F.col("top").cast("double").alias("val"),
     )
-
-
-@register(
-    "q_maxby",
-    """
-    SELECT user_id, event_id AS top_event_id FROM (
-      SELECT user_id, event_id,
-             row_number() OVER (PARTITION BY user_id
-                                ORDER BY value DESC, event_id DESC) AS rn
-      FROM events)
-    WHERE rn = 1
-    """,
-)
-def q_maxby(spark, sf_dir):
-    """A8: max_by with deterministic composite ordering
-    (PatchExecutor.py:191-209)."""
-    e = _t(spark, sf_dir, "events")
-    return e.groupBy("user_id").agg(
-        F.max_by("event_id", F.struct("value", "event_id")).alias(
-            "top_event_id"
-        )
-    )
+    return moments.unionByName(maxby)
 
 
 @register(
@@ -220,25 +237,6 @@ def q_count_gate(spark, sf_dir):
     return count_gate(li, done, "l_orderkey").select(
         "l_orderkey", "expected_n", "actual_n", "status"
     )
-
-
-@register(
-    "q_set_difference",
-    """
-    SELECT DISTINCT l_partkey AS k FROM lineitem
-    EXCEPT
-    SELECT p_partkey AS k FROM part WHERE p_size > 25
-    """,
-)
-def q_set_difference(spark, sf_dir):
-    """U2: pending-work set difference (04:8-33, 05:8-27)."""
-    a = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("k"))
-    b = (
-        _t(spark, sf_dir, "part")
-        .filter(F.col("p_size") > 25)
-        .select(F.col("p_partkey").alias("k"))
-    )
-    return a.distinct().exceptAll(b.distinct())
 
 
 @register(
@@ -634,15 +632,19 @@ def q_image_stats(spark, sf_dir):
     WITH c AS (SELECT user_id, event_type, count(*) AS n
                FROM events GROUP BY user_id, event_type)
     SELECT user_id,
+           string_agg(event_type, ',' ORDER BY event_type) AS types,
+           CAST(count(*) AS BIGINT) AS n_types,
            string_agg(event_type || ':' || CAST(n AS VARCHAR), ','
                       ORDER BY event_type) AS type_counts
     FROM c GROUP BY user_id
     """,
 )
 def q_map_ops(spark, sf_dir):
-    """C10: map construction/merge (11:219-248) — counts assembled into a
-    map column, then emitted as a sorted entries string for cross-engine
-    comparison."""
+    """C10 + A1/U3: map construction/merge (11:219-248) — counts assembled
+    into a map column — plus the distinct-set aggregation (src/lib.rs:43-59);
+    the set columns (sorted type list + cardinality) derive from the SAME
+    map (map_keys / size), so both operator families ride one aggregation
+    pass, emitted as sorted strings for cross-engine comparison."""
     e = _t(spark, sf_dir, "events")
     counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
     m = counts.groupBy("user_id").agg(
@@ -657,5 +659,8 @@ def q_map_ops(spark, sf_dir):
         lambda kv: F.concat(kv["key"], F.lit(":"), kv["value"].cast("string")),
     )
     return m.select(
-        "user_id", F.array_join(entries, ",").alias("type_counts")
+        "user_id",
+        F.array_join(F.map_keys(F.col("m")), ",").alias("types"),
+        F.size(F.col("m")).cast("long").alias("n_types"),
+        F.array_join(entries, ",").alias("type_counts"),
     )

@@ -72,7 +72,7 @@ def test_fetch_join_broadcasts_scheduled_side(spark):
 def test_anti_join_pushes_semi_structure(spark):
     import __spark_entry__ as m
 
-    df = m.queries()["q_anti_reconcile"](spark, SF_ORACLE)
+    df = m.queries()["q_existence_gate"](spark, SF_ORACLE)
     plan = _plan(df)
     assert "LeftAnti" in plan
 
