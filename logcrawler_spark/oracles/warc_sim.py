@@ -10,12 +10,25 @@ import io
 
 
 def gunzip_members_py(data: bytes) -> bytes:
-    """gzip.GzipFile natively reads concatenated members."""
+    """gzip.GzipFile natively reads concatenated members.
+
+    Truncation policy must mirror the engine's ``_gunzip_members`` (T3:
+    keep everything decoded BEFORE the truncated trailing member, drop
+    only the tail) — so reads accumulate byte-by-byte and an EOFError
+    returns the bytes decoded so far, not b"" (ADVICE r02). Byte-at-a-time
+    because ``GzipFile.read(n)`` DISCARDS bytes already decoded inside a
+    call that hits the truncated EOF; fine at fixture scale."""
+    out = bytearray()
     with gzip.GzipFile(fileobj=io.BytesIO(data)) as f:
         try:
-            return f.read()
-        except EOFError:  # truncated trailing member
-            return b""
+            while True:
+                chunk = f.read(1)
+                if not chunk:
+                    break
+                out += chunk
+        except EOFError:  # truncated trailing member: keep what decoded
+            pass
+    return bytes(out)
 
 
 def parse_warc_py(blob: bytes) -> list[tuple]:

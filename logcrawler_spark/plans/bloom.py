@@ -214,12 +214,18 @@ def cogroup_filter_not_seen(
     returns the maybe-seen mask; a missing bucket row means no seen keys.
     The flagged frame is materialized once; maybe-seen rows are confirmed
     by the exact anti-join."""
-    from pyspark.sql.types import BooleanType
+    from pyspark.sql.types import BooleanType, StructField, StructType
 
     from logcrawler_spark.utils import materialize
 
     out_cols = list(candidates.columns)
-    flagged_schema = candidates.schema.add("__maybe", BooleanType())
+    # a FRESH StructType — StructType.add mutates in place and
+    # DataFrame.schema is cached, so the caller's frame would grow a
+    # phantom __maybe column (ADVICE r02)
+    flagged_schema = StructType(
+        list(candidates.schema.fields)
+        + [StructField("__maybe", BooleanType())]
+    )
 
     def _probe(cand_pdf: pd.DataFrame, tbl_pdf: pd.DataFrame) -> pd.DataFrame:
         if bucket_transform is not None:

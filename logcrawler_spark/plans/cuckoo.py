@@ -37,10 +37,19 @@ from logcrawler_spark.plans.bloom import _mix64
 
 SLOTS_PER_ROW = 4
 _FP_CONST = np.uint64(0x5BD1E9955BD1E995)  # odd multiplier for fp -> row hop
+_TARGET_LOAD = 0.85  # auto-sizing aims below the ~95% cuckoo feasibility edge
+_MIN_M_ROWS = 1 << 10
 
 CUCKOO_SCHEMA = (
-    "bucket int, table binary, m_rows long, n_items long, n_kicked long"
+    "bucket int, table binary, m_rows long, n_items long, n_kicked long,"
+    " stash binary"
 )
+
+
+def _auto_m_rows(n_keys: int) -> int:
+    """Power-of-two row count sized for <= _TARGET_LOAD at n_keys."""
+    need = max(_MIN_M_ROWS, int(n_keys / (SLOTS_PER_ROW * _TARGET_LOAD)) + 1)
+    return 1 << (need - 1).bit_length()
 
 
 def _fingerprints(hashes: np.ndarray) -> np.ndarray:
@@ -64,15 +73,22 @@ def _fp_hop(fp: np.ndarray, m_rows: int) -> np.ndarray:
 
 def _insert_many(
     table: np.ndarray, hashes: np.ndarray, max_kicks: int = 500
-) -> int:
-    """Insert each hash; returns total eviction kicks. Raises if the table
-    is too full to place a key (callers size m_rows for <95% load)."""
+) -> tuple[int, list[int]]:
+    """Insert each hash; returns (total eviction kicks, homeless
+    fingerprints). A fingerprint whose eviction chain exhausts
+    ``max_kicks`` goes to the caller's STASH instead of raising — the
+    filter degrades gracefully (stash probes linearly) and the growth
+    pass (:func:`grow_overfull_buckets`) rebuilds the bucket at the next
+    size. Note the homeless fp is whatever the chain last displaced, not
+    necessarily the incoming key's — set semantics are preserved either
+    way (every displaced fp lands in table or stash)."""
     m_rows = table.shape[0]
     fps = _fingerprints(hashes)
     r1s = _row1(hashes, m_rows)
     hops = _fp_hop(fps, m_rows)
     rng_state = np.uint64(0x9E3779B97F4A7C15)
     kicks = 0
+    homeless: list[int] = []
     for fp, r1, hop in zip(fps, r1s, hops):
         r2 = r1 ^ hop
         placed = False
@@ -105,59 +121,90 @@ def _insert_many(
                 table[row, empty[0]] = cur
                 break
         else:
-            raise ValueError("cuckoo table too full; increase m_rows")
-    return kicks
+            homeless.append(int(cur))
+    return kicks, homeless
 
 
-def _delete_many(table: np.ndarray, hashes: np.ndarray) -> int:
-    """Remove one matching fingerprint per hash; returns #removed."""
+def _delete_many(
+    table: np.ndarray, stash: np.ndarray, hashes: np.ndarray
+) -> tuple[int, np.ndarray]:
+    """Remove one matching fingerprint per hash (table rows first, then the
+    stash by fingerprint alone); returns (#removed, new stash)."""
     m_rows = table.shape[0]
     fps = _fingerprints(hashes)
     r1s = _row1(hashes, m_rows)
     hops = _fp_hop(fps, m_rows)
+    stash = stash.copy()
     removed = 0
     for fp, r1, hop in zip(fps, r1s, hops):
+        hit = False
         for r in (r1, int(np.int64(r1) ^ hop)):
             match = np.flatnonzero(table[r] == fp)
             if match.size:
                 table[r, match[0]] = 0
                 removed += 1
+                hit = True
                 break
-    return removed
+        if not hit and stash.size:
+            match = np.flatnonzero(stash == fp)
+            if match.size:
+                stash = np.delete(stash, match[0])
+                removed += 1
+    return removed, stash
 
 
-def _probe_many(table: np.ndarray, hashes: np.ndarray) -> np.ndarray:
-    """Vectorized maybe-present test."""
+def _probe_many(
+    table: np.ndarray, stash: np.ndarray, hashes: np.ndarray
+) -> np.ndarray:
+    """Vectorized maybe-present test (two candidate rows + stash)."""
     m_rows = table.shape[0]
     fps = _fingerprints(hashes)
     r1s = _row1(hashes, m_rows)
     r2s = r1s ^ _fp_hop(fps, m_rows)
     hit1 = (table[r1s] == fps[:, None]).any(axis=1)
     hit2 = (table[r2s] == fps[:, None]).any(axis=1)
-    return hit1 | hit2
+    hits = hit1 | hit2
+    if stash.size:
+        hits |= np.isin(fps, stash)
+    return hits
+
+
+def _stash_arr(blob) -> np.ndarray:
+    return (
+        np.frombuffer(blob, dtype=np.uint16)
+        if blob
+        else np.empty(0, dtype=np.uint16)
+    )
 
 
 def build_cuckoo_table(
     url_seen: DataFrame,
     hash_col: str = "url_hash",
     n_buckets: int = 32,
-    m_rows: int = 1 << 12,
+    m_rows: int | None = None,
 ) -> DataFrame:
-    """One cuckoo table per hash bucket (m_rows x 4 slots of uint16)."""
+    """One cuckoo table per hash bucket (m_rows x 4 slots of uint16).
+
+    ``m_rows=None`` (default) auto-sizes each bucket's table from its key
+    count for <= ~85% load; pass an explicit power of two to pin it."""
     assert n_buckets & (n_buckets - 1) == 0
-    assert m_rows & (m_rows - 1) == 0
+    assert m_rows is None or m_rows & (m_rows - 1) == 0
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         hashes = pdf[hash_col].to_numpy().astype(np.uint64)
-        table = np.zeros((m_rows, SLOTS_PER_ROW), dtype=np.uint16)
-        kicks = _insert_many(table, hashes)
+        m = m_rows if m_rows is not None else _auto_m_rows(len(pdf))
+        table = np.zeros((m, SLOTS_PER_ROW), dtype=np.uint16)
+        kicks, homeless = _insert_many(table, hashes)
         return pd.DataFrame(
             {
                 "bucket": [int(pdf["__bucket"].iloc[0])],
                 "table": [table.tobytes()],
-                "m_rows": [m_rows],
+                "m_rows": [m],
                 "n_items": [len(pdf)],
                 "n_kicked": [kicks],
+                "stash": [
+                    np.asarray(homeless, dtype=np.uint16).tobytes()
+                ],
             }
         )
 
@@ -175,9 +222,12 @@ def _updated(
     hash_col: str,
     n_buckets: int,
     delete: bool,
+    m_rows: int | None = None,
 ) -> DataFrame:
     """Cogrouped per-bucket insert/delete of ``keys`` into the standing
-    tables — touches ONLY buckets holding keys; other rows pass through."""
+    tables — touches ONLY buckets holding keys; other rows pass through.
+    ``m_rows`` sizes bootstrap builds of previously-missing buckets
+    (None = auto-size from the key count)."""
 
     def _apply(tbl_pdf: pd.DataFrame, key_pdf: pd.DataFrame) -> pd.DataFrame:
         if tbl_pdf.empty:
@@ -185,43 +235,54 @@ def _updated(
             if delete or key_pdf.empty:
                 return tbl_pdf.iloc[0:0]
             bucket = int(key_pdf["__bucket"].iloc[0])
-            m_rows = 1 << 12
-            table = np.zeros((m_rows, SLOTS_PER_ROW), dtype=np.uint16)
-            kicks = _insert_many(
+            m = m_rows if m_rows is not None else _auto_m_rows(len(key_pdf))
+            table = np.zeros((m, SLOTS_PER_ROW), dtype=np.uint16)
+            kicks, homeless = _insert_many(
                 table, key_pdf[hash_col].to_numpy().astype(np.uint64)
             )
             return pd.DataFrame(
                 {
                     "bucket": [bucket],
                     "table": [table.tobytes()],
-                    "m_rows": [m_rows],
+                    "m_rows": [m],
                     "n_items": [len(key_pdf)],
                     "n_kicked": [kicks],
+                    "stash": [
+                        np.asarray(homeless, dtype=np.uint16).tobytes()
+                    ],
                 }
             )
         row = tbl_pdf.iloc[0]
-        m_rows = int(row["m_rows"])
+        m = int(row["m_rows"])
         table = (
             np.frombuffer(row["table"], dtype=np.uint16)
-            .reshape(m_rows, SLOTS_PER_ROW)
+            .reshape(m, SLOTS_PER_ROW)
             .copy()
         )
+        stash = _stash_arr(row["stash"])
         n_items = int(row["n_items"])
         kicks = int(row["n_kicked"])
         if not key_pdf.empty:
             hashes = key_pdf[hash_col].to_numpy().astype(np.uint64)
             if delete:
-                n_items -= _delete_many(table, hashes)
+                removed, stash = _delete_many(table, stash, hashes)
+                n_items -= removed
             else:
-                kicks += _insert_many(table, hashes)
+                dk, homeless = _insert_many(table, hashes)
+                kicks += dk
+                if homeless:
+                    stash = np.concatenate(
+                        [stash, np.asarray(homeless, dtype=np.uint16)]
+                    )
                 n_items += len(hashes)
         return pd.DataFrame(
             {
                 "bucket": [int(row["bucket"])],
                 "table": [table.tobytes()],
-                "m_rows": [m_rows],
+                "m_rows": [m],
                 "n_items": [n_items],
                 "n_kicked": [kicks],
+                "stash": [stash.tobytes()],
             }
         )
 
@@ -237,10 +298,48 @@ def _updated(
 
 def insert_keys(
     cuckoos: DataFrame, keys: DataFrame, hash_col: str = "url_hash",
-    n_buckets: int = 32,
+    n_buckets: int = 32, m_rows: int | None = None,
 ) -> DataFrame:
     """Incrementally add a key delta (O(delta) work, per-bucket)."""
-    return _updated(cuckoos, keys, hash_col, n_buckets, delete=False)
+    return _updated(cuckoos, keys, hash_col, n_buckets, delete=False,
+                    m_rows=m_rows)
+
+
+def grow_overfull_buckets(
+    cuckoos: DataFrame,
+    exact_keys: DataFrame,
+    hash_col: str = "url_hash",
+    n_buckets: int = 32,
+    load_factor: float = 0.9,
+) -> DataFrame:
+    """Rebuild any bucket whose load exceeds ``load_factor`` (or that has
+    stash overflow) from the EXACT key set, auto-sized for the new count —
+    the growth path a long crawl needs instead of a hard capacity wall.
+
+    A cuckoo table cannot grow in place (row placement consumes hash bits
+    a stored fingerprint no longer has), so growth = rebuild the bucket
+    from ``exact_keys`` (the engine always has them: the filter mirrors
+    url_seen). The stats read collects one (bucket, m_rows, n_items,
+    stash_len) row per bucket — n_buckets rows of metadata, never the
+    binary tables — and untouched buckets pass through unchanged."""
+    stats = cuckoos.select(
+        "bucket", "m_rows", "n_items",
+        F.coalesce(F.length("stash"), F.lit(0)).alias("stash_len"),
+    ).collect()
+    over = [
+        int(r["bucket"])
+        for r in stats
+        if r["stash_len"] > 0
+        or int(r["n_items"]) > load_factor * int(r["m_rows"]) * SLOTS_PER_ROW
+    ]
+    if not over:
+        return cuckoos
+    keep = cuckoos.filter(~F.col("bucket").isin(over))
+    src = exact_keys.filter(
+        F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int").isin(over)
+    )
+    rebuilt = build_cuckoo_table(src, hash_col=hash_col, n_buckets=n_buckets)
+    return keep.unionByName(rebuilt)
 
 
 def delete_keys(
@@ -258,7 +357,7 @@ def cuckoo_probe_rows(tbl_pdf: pd.DataFrame, hs: np.ndarray) -> np.ndarray:
     table = np.frombuffer(row["table"], dtype=np.uint16).reshape(
         int(row["m_rows"]), SLOTS_PER_ROW
     )
-    return _probe_many(table, hs)
+    return _probe_many(table, _stash_arr(row["stash"]), hs)
 
 
 def filter_not_seen_cuckoo(
@@ -292,10 +391,16 @@ def probe_maybe_seen(
 ) -> DataFrame:
     """candidates + __maybe boolean, via the same cogrouped bucket join the
     Bloom probe uses (no driver collect / broadcast)."""
-    from pyspark.sql.types import BooleanType
+    from pyspark.sql.types import BooleanType, StructField, StructType
 
     out_cols = list(candidates.columns)
-    schema = candidates.schema.add("__maybe", BooleanType())
+    # a FRESH StructType — StructType.add mutates in place and
+    # DataFrame.schema is cached, so the caller's frame would grow a
+    # phantom __maybe column (ADVICE r02)
+    schema = StructType(
+        list(candidates.schema.fields)
+        + [StructField("__maybe", BooleanType())]
+    )
 
     def _probe(cand_pdf: pd.DataFrame, tbl_pdf: pd.DataFrame) -> pd.DataFrame:
         out = cand_pdf[out_cols].copy()
@@ -307,7 +412,9 @@ def probe_maybe_seen(
             int(row["m_rows"]), SLOTS_PER_ROW
         )
         hashes = cand_pdf[hash_col].to_numpy().astype(np.uint64)
-        out["__maybe"] = _probe_many(table, hashes)
+        out["__maybe"] = _probe_many(
+            table, _stash_arr(row["stash"]), hashes
+        )
         return out
 
     return (

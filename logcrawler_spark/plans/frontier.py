@@ -264,9 +264,11 @@ def crawl_round(
     from pyspark.sql import Observation
 
     from logcrawler_spark.plans.cuckoo import (
+        CUCKOO_SCHEMA,
         build_cuckoo_table,
         delete_keys,
         filter_not_seen_cuckoo,
+        grow_overfull_buckets,
         insert_keys,
     )
 
@@ -303,23 +305,33 @@ def crawl_round(
         standing = state.blooms
         if standing is None and state.round_no > 0:
             # bootstrap BEFORE the probe (resume from a catalog lacking a
-            # filter table, or a use_bloom=False run resumed with True): the
-            # invariant is filter ⊇ effective url_seen — probing an empty
-            # table here would mark every seen URL definitely-new and
-            # re-schedule it
+            # filter table — or, for cuckoo, one whose committed filter was
+            # AHEAD of round_marker — or a use_bloom=False run resumed with
+            # True): the invariant is filter ⊇ effective url_seen — probing
+            # an empty table here would mark every seen URL definitely-new
+            # and re-schedule it. With TTL the rebuild must reproduce the
+            # START-of-round filter content {first_seen_round > rnd-ttl-1},
+            # NOT eff_seen {> rnd-ttl}: this round's delete_keys targets the
+            # keys aging out AT rnd, and a cuckoo delete of an absent key
+            # can evict a colliding twin's fingerprint (false negative) —
+            # so those keys must be IN the rebuilt table (ADVICE r02).
+            boot_src = eff_seen
+            if ttl_rounds is not None:
+                boot_src = state.url_seen.filter(
+                    F.col("first_seen_round") > rnd - ttl_rounds - 1
+                )
             build = (
                 build_cuckoo_table
                 if filter_kind == "cuckoo"
                 else build_bloom_table
             )
             standing = _materialize(
-                build(eff_seen, n_buckets=bloom_buckets)
+                build(boot_src, n_buckets=bloom_buckets)
             )
         filter_in = standing
         if filter_in is None:  # round 1: nothing seen yet
             schema = (
-                "bucket int, table binary, m_rows long, n_items long,"
-                " n_kicked long"
+                CUCKOO_SCHEMA
                 if filter_kind == "cuckoo"
                 else "bucket int, bloom binary, n_items long, m_bits long,"
                 " k int"
@@ -462,6 +474,21 @@ def crawl_round(
                     upd, sched.select("url_hash"), n_buckets=bloom_buckets
                 )
             )
+            # growth path: any bucket past ~90% load (or with stash
+            # overflow) is rebuilt from the exact un-aged key set at the
+            # next power-of-two size — a long crawl keeps absorbing keys
+            # instead of hitting a capacity wall. The stats read is
+            # n_buckets metadata rows off the just-written parquet; the
+            # common case (no over-full bucket) adds no job beyond it.
+            exact = new_seen if ttl_rounds is None else new_seen.filter(
+                F.col("first_seen_round") > rnd - ttl_rounds
+            )
+            grown = grow_overfull_buckets(
+                new_blooms, exact.select("url_hash"),
+                n_buckets=bloom_buckets,
+            )
+            if grown is not new_blooms:
+                new_blooms = _materialize(grown)
         else:
             delta = build_bloom_table(
                 sched.select("url_hash"), n_buckets=bloom_buckets
@@ -587,9 +614,19 @@ def _commit_round(
         tag=rnd,
     )
     if state.blooms is not None:
-        # small (n_buckets rows); a crashed newer filter is a SUPERSET of
-        # the marker's url_seen — safe, since positives are exact-confirmed
-        catalog.overwrite(f"url_seen_{filter_kind}", state.blooms)
+        # small (n_buckets rows). The filter's round rides INSIDE the same
+        # atomic overwrite: a crash between this write and round_marker
+        # leaves a filter AHEAD of the marker, which resume detects by the
+        # committed_round mismatch. For bloom a newer filter is a SUPERSET
+        # of the marker's url_seen (append-only, positives exact-confirmed)
+        # so it stays safe to reuse; for cuckoo it is NOT — the newer
+        # filter already applied this round's TTL deletes, and replaying
+        # delete_keys against it could evict colliding twin fingerprints
+        # (false negatives), so resume rebuilds instead (ADVICE r02).
+        catalog.overwrite(
+            f"url_seen_{filter_kind}",
+            state.blooms.withColumn("committed_round", F.lit(rnd)),
+        )
     lineage = (
         seen_delta.groupBy(
             F.pmod(F.col("url_hash"), F.lit(8)).alias("bucket")
@@ -629,6 +666,20 @@ def resume_crawl(
     """
     done = catalog.read("round_marker").collect()[0]["round"]
     pages_c = _with_canonical(pages)
+    blooms = None
+    if catalog.exists(f"url_seen_{filter_kind}"):
+        ftab = catalog.read(f"url_seen_{filter_kind}")
+        if "committed_round" in ftab.columns:
+            frnd = ftab.agg(F.max("committed_round")).collect()[0][0]
+            # bloom: a filter AHEAD of the marker is a superset of the
+            # marker's url_seen — safe (positives exact-confirmed). cuckoo:
+            # an ahead filter already applied the crashed round's TTL
+            # deletes; reusing it would replay delete_keys and risk
+            # evicting twin fingerprints (false negatives) — rebuild.
+            if filter_kind == "bloom" or frnd == done:
+                blooms = ftab.drop("committed_round")
+        elif filter_kind == "bloom":
+            blooms = ftab  # legacy untagged table: superset-safe for bloom
     state = CrawlState(
         url_seen=catalog.read("url_seen").filter(
             F.col("first_seen_round") <= done
@@ -639,11 +690,7 @@ def resume_crawl(
         schedule=catalog.read("schedule").filter(F.col("round") <= done),
         metrics=catalog.read("metrics").filter(F.col("round") <= done),
         round_no=done,
-        blooms=(
-            catalog.read(f"url_seen_{filter_kind}")
-            if catalog.exists(f"url_seen_{filter_kind}")
-            else None
-        ),
+        blooms=blooms,
     )
     for _ in range(total_rounds - done):
         state = crawl_round(

@@ -21,6 +21,16 @@ dropped (the T3 truncated-tail policy). Unlike the binlog readers the
 payload is emitted inline rather than as extents: for gz inputs byte
 extents would address the DECOMPRESSED stream, so lazy re-slicing from the
 file is not possible anyway.
+
+Memory envelope per task (the bound that matters for ~1 GB Common Crawl
+archives that gunzip to ~4-5 GB): the compressed blob is pinned by the
+``binaryFile`` row, but decompression and parsing are INCREMENTAL — gzip
+members decode one at a time, each member's complete records are emitted
+(and flushed to Arrow every ``_EMIT_ROWS`` rows), and only the unconsumed
+tail (normally < one record) carries over. Peak extra memory is
+O(largest member + carry + one emit batch), never O(whole decompressed
+archive). A record that spans gzip members is reassembled via the carry,
+so per-member output equals the whole-blob parse exactly (tested).
 """
 
 from __future__ import annotations
@@ -39,33 +49,53 @@ WARC_SCHEMA = (
 _SEP = b"\r\n\r\n"
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Decompress concatenated gzip members (Common Crawl layout)."""
-    out = []
+_EMIT_ROWS = 4096  # flush parsed records to Arrow at this granularity
+
+_COLUMNS = [
+    "path", "record_index", "warc_type", "url",
+    "warc_date", "content_length", "payload",
+]
+
+
+def _iter_gunzip_members(data: bytes) -> Iterator[bytes]:
+    """Decompressed bytes of each concatenated gzip member, one at a time
+    (Common Crawl layout) — the incremental twin of joining them all. A
+    truncated trailing member yields what decoded before the cut (T3)."""
     while data:
         d = zlib.decompressobj(47)  # gzip wrapper
-        out.append(d.decompress(data))
-        out.append(d.flush())
+        chunk = d.decompress(data) + d.flush()
+        yield chunk
         if not d.eof:
             break  # truncated member: keep what decoded (T3)
         data = d.unused_data.lstrip(b"\x00")
-    return b"".join(out)
 
 
-def parse_warc_bytes(blob: bytes) -> list[tuple]:
-    """(record_index, warc_type, url, warc_date, content_length, payload)
-    per complete record; truncated tails dropped."""
+def _gunzip_members(data: bytes) -> bytes:
+    """Whole-stream decompression (kept for tests/oracles; the scan kernel
+    uses the per-member iterator to bound memory)."""
+    return b"".join(_iter_gunzip_members(data))
+
+
+def _parse_some(blob: bytes, base_idx: int) -> tuple[list[tuple], int]:
+    """Parse COMPLETE records from ``blob``; returns (records, resume).
+
+    ``resume`` is the offset of the first byte that may still become part
+    of a record once more data arrives (a record whose header or declared
+    block is cut off, or a possibly-split ``WARC/`` marker) — the caller
+    carries ``blob[resume:]`` into the next member. On the final buffer the
+    carry is simply dropped, which IS the T3 truncated-tail policy."""
     out: list[tuple] = []
     pos = 0
-    idx = 0
+    idx = base_idx
     n = len(blob)
     while True:
         start = blob.find(b"WARC/", pos)
         if start < 0:
-            break
+            # no marker: nothing before n-4 can start one later either
+            return out, max(pos, n - 4)
         head_end = blob.find(_SEP, start)
         if head_end < 0:
-            break  # truncated header block
+            return out, start  # header block not complete yet
         headers: dict[str, str] = {}
         lines = blob[start:head_end].split(b"\r\n")
         for line in lines[1:]:  # line 0 = version
@@ -81,7 +111,7 @@ def parse_warc_bytes(blob: bytes) -> list[tuple]:
             continue  # malformed record: skip past its header (T3)
         body_start = head_end + len(_SEP)
         if body_start + length > n:
-            break  # truncated tail payload -> drop (T3)
+            return out, start  # block not complete yet
         out.append(
             (
                 idx,
@@ -94,27 +124,46 @@ def parse_warc_bytes(blob: bytes) -> list[tuple]:
         )
         idx += 1
         pos = body_start + length
-    return out
+
+
+def parse_warc_bytes(blob: bytes) -> list[tuple]:
+    """(record_index, warc_type, url, warc_date, content_length, payload)
+    per complete record; truncated tails dropped."""
+    recs, _resume = _parse_some(blob, 0)
+    return recs
+
+
+def _walk_warc_file(path: str, blob: bytes) -> Iterator[list[tuple]]:
+    """Record rows of one (possibly .gz) WARC, emitted in bounded chunks:
+    per gzip member, the member's complete records; the unconsumed tail
+    carries into the next member so member-split records reassemble."""
+    rows: list[tuple] = []
+    if path.endswith(".gz"):
+        carry = b""
+        idx = 0
+        for member in _iter_gunzip_members(blob):
+            buf = carry + member
+            recs, resume = _parse_some(buf, idx)
+            idx += len(recs)
+            carry = buf[resume:]
+            rows.extend((path, *r) for r in recs)
+            if len(rows) >= _EMIT_ROWS:
+                yield rows
+                rows = []
+        # final carry = truncated tail -> dropped (T3)
+    else:
+        rows = [(path, *r) for r in parse_warc_bytes(blob)]
+    if rows:
+        yield rows
 
 
 def _split_warc_files(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        rows: list[tuple] = []
         for path, content in zip(pdf["path"], pdf["content"]):
-            blob = bytes(content)
-            if path.endswith(".gz"):
-                blob = _gunzip_members(blob)
-            for rec in parse_warc_bytes(blob):
-                rows.append((path, *rec))
-        yield pd.DataFrame(
-            rows,
-            columns=[
-                "path", "record_index", "warc_type", "url",
-                "warc_date", "content_length", "payload",
-            ],
-        )
+            for rows in _walk_warc_file(path, bytes(content)):
+                yield pd.DataFrame(rows, columns=_COLUMNS)
 
 
 def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:

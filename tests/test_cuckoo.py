@@ -185,3 +185,52 @@ def test_ttl_requires_cuckoo(spark):
             budget=5,
             ttl_rounds=2,
         )
+
+
+def test_stash_overflow_degrades_gracefully_then_grows(spark):
+    """A bucket past its capacity must NOT fail the job: homeless
+    fingerprints land in the stash (still no false negatives), and the
+    growth pass rebuilds the bucket larger from the exact keys."""
+    from logcrawler_spark.plans.cuckoo import grow_overfull_buckets
+
+    seen = _keyed(spark, 0, 5000)
+    # 1 bucket x (1<<10 rows x 4 slots) = 4096 capacity < 5000 keys
+    tiny = build_cuckoo_table(seen, n_buckets=1, m_rows=1 << 10)
+    rows = tiny.collect()
+    assert sum(len(r["stash"] or b"") for r in rows) > 0, (
+        "expected stash overflow at 122% load"
+    )
+    got = {
+        r["canonical_url"]: r["__maybe"]
+        for r in probe_maybe_seen(seen, tiny, n_buckets=1).collect()
+    }
+    assert all(got.values()), "stash overflow produced a false negative"
+
+    grown = grow_overfull_buckets(
+        tiny, seen.select("url_hash"), n_buckets=1
+    )
+    grows = grown.collect()
+    assert all(len(r["stash"] or b"") == 0 for r in grows)
+    assert all(r["m_rows"] > (1 << 10) for r in grows)
+    got2 = {
+        r["canonical_url"]: r["__maybe"]
+        for r in probe_maybe_seen(seen, grown, n_buckets=1).collect()
+    }
+    assert all(got2.values())
+    # untouched healthy buckets pass through unchanged
+    healthy = build_cuckoo_table(seen, n_buckets=N_BUCKETS)
+    assert grow_overfull_buckets(
+        healthy, seen.select("url_hash"), n_buckets=N_BUCKETS
+    ) is healthy
+
+
+def test_probe_does_not_mutate_candidate_schema(spark):
+    """StructType.add mutates in place; the probe must not leave a phantom
+    __maybe column on the caller's DataFrame (ADVICE r02)."""
+    seen = _keyed(spark, 0, 100)
+    cand = _keyed(spark, 50, 150)
+    before = list(cand.columns)
+    cuckoos = build_cuckoo_table(seen, n_buckets=N_BUCKETS)
+    probe_maybe_seen(cand, cuckoos, n_buckets=N_BUCKETS).collect()
+    assert list(cand.columns) == before
+    assert "__maybe" not in [f.name for f in cand.schema.fields]

@@ -145,3 +145,63 @@ def test_resume_with_bloom_after_bloomless_run_does_not_reschedule(
     assert {r["canonical_url"] for r in resumed.url_seen.collect()} == {
         r["canonical_url"] for r in full.url_seen.collect()
     }
+
+
+def test_resume_cuckoo_ttl_rejects_ahead_filter_and_rebuilds(spark, tmp_path):
+    """Crash AFTER the filter overwrite but BEFORE round_marker (cuckoo+TTL):
+    the committed filter is AHEAD of the marker — reusing it would replay
+    delete_keys (twin-fingerprint eviction risk, ADVICE r02) and here it is
+    even emptied to make misuse deterministic. Resume must detect the
+    committed_round mismatch, rebuild from url_seen (START-of-round content,
+    including the keys this round ages out), and reproduce the straight
+    run's schedule exactly."""
+    from logcrawler_spark.plans.cuckoo import CUCKOO_SCHEMA
+
+    pages = generate_pages(spark, SF_SMOKE, n_hosts=N_HOSTS)
+    seeds = generate_seeds(spark, SF_SMOKE, n_hosts=N_HOSTS)
+    robots = generate_robots_rules(spark, n_hosts=N_HOSTS)
+    rounds, ttl = 5, 2
+
+    full = run_crawl(
+        spark, pages, seeds, robots, rounds=rounds, budget=BUDGET,
+        filter_kind="cuckoo", ttl_rounds=ttl,
+    )
+    cat = Catalog(spark, str(tmp_path))
+    run_crawl(
+        spark, pages, seeds, robots, rounds=3, budget=BUDGET,
+        filter_kind="cuckoo", ttl_rounds=ttl, catalog=cat,
+    )
+    # simulate the crashed round-4 attempt: an (empty = worst-case) filter
+    # tagged round 4 is committed, but round_marker still says 3
+    cat.overwrite(
+        "url_seen_cuckoo",
+        spark.createDataFrame([], CUCKOO_SCHEMA).withColumn(
+            "committed_round", F.lit(4)
+        ),
+    )
+    resumed = resume_crawl(
+        spark, pages, robots, cat, total_rounds=rounds, budget=BUDGET,
+        filter_kind="cuckoo", ttl_rounds=ttl,
+    )
+
+    def sched_key(df):
+        return [
+            tuple(r)
+            for r in df.select(
+                "round", "host", "priority", "canonical_url", "host_rank",
+                "slot_ms",
+            )
+            .orderBy("round", "host", F.col("priority").desc(),
+                     "canonical_url")
+            .collect()
+        ]
+
+    assert sched_key(resumed.schedule) == sched_key(full.schedule)
+    # filter-content invariant: items = exactly the un-aged url_seen rows
+    n_items = sum(
+        r["n_items"] for r in resumed.blooms.collect()
+    )
+    expected = resumed.url_seen.filter(
+        F.col("first_seen_round") > rounds - ttl
+    ).count()
+    assert n_items == expected

@@ -166,3 +166,39 @@ def test_streaming_warc_ingest_equals_batch(spark, tmp_path):
         for r in read_warc(spark, str(src) + "/*.warc*").collect()
     )
     assert got == want and len(got) == 6
+
+
+def test_record_split_across_members_reassembles():
+    """The per-member incremental walk must equal the whole-blob parse even
+    when a record's bytes are split across two gzip members (the carry
+    path), byte-identically."""
+    from logcrawler_spark.sources.warc import _walk_warc_file
+
+    blob = write_warc_bytes(_recs(7))
+    # cut INSIDE record 3's payload so the record spans both members
+    k = len(write_warc_bytes(_recs(7)[:3])) + 25
+    raw = gzip.compress(blob[:k]) + gzip.compress(blob[k:])
+    rows = [r for chunk in _walk_warc_file("x.warc.gz", raw) for r in chunk]
+    want = [("x.warc.gz", *t) for t in parse_warc_bytes(_gunzip_members(raw))]
+    assert rows == want
+    assert len(rows) == 7
+
+
+def test_truncated_gz_member_engine_matches_oracle():
+    """T3 on a truncated trailing gzip member: BOTH sides keep everything
+    decoded before the cut (the oracle used to return b'' — ADVICE r02),
+    and the incremental walk agrees with the whole-blob path."""
+    from logcrawler_spark.sources.warc import _walk_warc_file
+
+    blob6 = _recs(6)
+    raw = gzip.compress(write_warc_bytes(blob6[:4])) + gzip.compress(
+        write_warc_bytes(blob6[4:])
+    )
+    cut = raw[:-20]  # truncate inside the trailing member
+    a = _gunzip_members(cut)
+    b = gunzip_members_py(cut)
+    assert a == b
+    assert len(parse_warc_bytes(a)) >= 4  # first member fully preserved
+    rows = [r for chunk in _walk_warc_file("x.warc.gz", cut) for r in chunk]
+    want = [("x.warc.gz", *t) for t in parse_warc_py(a)]
+    assert rows == want
