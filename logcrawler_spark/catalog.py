@@ -27,7 +27,10 @@ a crashed attempt's partial commit is replaced, not duplicated.
 ``merge_into`` implements last-writer-wins upsert semantics (reference
 analog: ``HashMap::insert`` keeping the last record per frame,
 ``src/lib.rs:97``; ``bulk_update`` sinks, ``13_calculate_image_stats.py:
-109-124``).
+109-124``) as merge-on-read: each merge appends O(delta) rows, reads
+resolve conflicts by data-dir recency under a TOTAL order (dir seq,
+order_col, stable hash of remaining columns), and a compaction pass
+rewrites once per ``compact_after`` merges.
 
 On a real cluster this module is swapped for ``df.writeTo(tbl)`` /
 ``MERGE INTO`` with ``IcebergSparkSessionExtensions``; every call site goes
@@ -36,6 +39,7 @@ through this facade so the swap is one module.
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
 
@@ -109,11 +113,65 @@ class Catalog:
         df.write.mode("overwrite").parquet(os.path.join(tdir, snap_name))
         return snap_name
 
+    # -- merge-on-read metadata ---------------------------------------------
+    def _meta_path(self, table: str) -> str:
+        return os.path.join(self._table_dir(table), "MERGE_META")
+
+    def _read_meta(self, table: str) -> dict | None:
+        p = self._meta_path(table)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_meta(self, table: str, meta: dict) -> None:
+        os.makedirs(self._table_dir(table), exist_ok=True)
+        p = self._meta_path(table)
+        tmp = p + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, p)
+
+    def _resolve_merged(
+        self, dirs: list[str], meta: dict
+    ) -> DataFrame:
+        """Merge-on-read LWW resolution: newer data dirs win per key; within
+        a dir the greatest order_col wins; remaining ties break on a stable
+        hash of the non-key columns — a TOTAL order, so the survivor is
+        independent of partitioning/arrival (CLAUDE.md determinism rule)."""
+        key_cols = meta["key_cols"]
+        order_col = meta.get("order_col")
+        parts = [
+            self.spark.read.parquet(d).withColumn("__seq", F.lit(i))
+            for i, d in enumerate(dirs)
+        ]
+        unioned = parts[0]
+        for p in parts[1:]:
+            unioned = unioned.unionByName(p)
+        out_cols = [c for c in unioned.columns if c != "__seq"]
+        tb_cols = [c for c in out_cols if c not in key_cols]
+        order = [F.col("__seq").desc()]
+        if order_col:
+            order.append(F.col(order_col).desc())
+        if tb_cols:
+            order.append(F.xxhash64(*tb_cols).desc())
+        w = Window.partitionBy(*key_cols).orderBy(*order)
+        return (
+            unioned.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(*out_cols)
+        )
+
     # -- public API (Iceberg-shaped) ---------------------------------------
     def read(self, table: str) -> DataFrame:
         dirs = self.current_dirs(table)
         if not dirs:
             raise FileNotFoundError(f"table {table!r} has no committed snapshot")
+        meta = self._read_meta(table)
+        if meta is not None:
+            names = [n for n, _t in self._read_manifest(table)]
+            if names != [meta.get("compacted_snap")]:
+                return self._resolve_merged(dirs, meta)
         return self.spark.read.parquet(*dirs)
 
     def overwrite(self, table: str, df: DataFrame, n_buckets: int | None = None,
@@ -128,6 +186,10 @@ class Catalog:
             df = df.repartition(n_buckets, F.pmod(F.col(bucket_col), F.lit(n_buckets)))
         snap_name = self._write_data_dir(table, df)
         self._commit(table, [(snap_name, None)])
+        # overwrite replaces contents VERBATIM: stale merge metadata would
+        # re-apply LWW over the new rows and silently drop duplicates
+        if os.path.exists(self._meta_path(table)):
+            os.remove(self._meta_path(table))
 
     def append(self, table: str, df: DataFrame, tag: int | None = None,
                n_buckets: int | None = None,
@@ -160,27 +222,48 @@ class Catalog:
         source: DataFrame,
         key_cols: list[str],
         order_col: str | None = None,
+        compact_after: int = 16,
     ) -> None:
-        """MERGE INTO: upsert ``source`` by ``key_cols``, last-writer-wins.
+        """MERGE INTO: upsert ``source`` by ``key_cols``, last-writer-wins —
+        O(delta) per call (reference semantics: ``src/lib.rs:97``,
+        ``13_calculate_image_stats.py:109-124``).
 
         When both target and source hold a key, the source row wins; among
-        duplicate source rows, the greatest ``order_col`` wins (ties broken
-        arbitrarily-but-deterministically by the remaining columns). This is
-        the frontier/url_seen update path (SURVEY.md §2.1 S8, §2.7 U4).
+        duplicate source rows, the greatest ``order_col`` wins, remaining
+        ties broken by a stable hash of the non-key columns (a TOTAL order —
+        the survivor never depends on partition-arrival order).
+
+        Write path is merge-on-read (the Iceberg MOR analog): each call
+        writes ONLY the source rows as a new immutable data dir + merge
+        metadata; conflicts resolve at read time by data-dir recency. Once
+        the manifest exceeds ``compact_after`` dirs, the resolved table is
+        compacted back to a single dir — copy-on-write cost amortized over
+        many O(delta) merges, after which reads skip resolution entirely.
         """
-        src = source.withColumn("__rank", F.lit(1))
-        if self.exists(table):
-            tgt = self.read(table).withColumn("__rank", F.lit(0))
-            unioned = tgt.unionByName(src)
-        else:
-            unioned = src
-        order = [F.col("__rank").desc()]
-        if order_col:
-            order.append(F.col(order_col).desc())
-        w = Window.partitionBy(*key_cols).orderBy(*order)
-        merged = (
-            unioned.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn", "__rank")
-        )
-        self.overwrite(table, merged)
+        meta = self._read_meta(table) or {
+            "key_cols": key_cols,
+            "order_col": order_col,
+        }
+        if meta["key_cols"] != key_cols or meta.get("order_col") != order_col:
+            raise ValueError(
+                f"merge keys for {table!r} differ from the table's merge"
+                f" metadata {meta}"
+            )
+        self._write_meta(table, meta)
+        snap_name = self._write_data_dir(table, source)
+        entries = self._read_manifest(table) + [(snap_name, None)]
+        self._commit(table, entries)
+        if len(entries) > compact_after:
+            self.compact(table)
+
+    def compact(self, table: str) -> None:
+        """Rewrite a merged table's resolved rows into one data dir; reads
+        then skip merge-on-read resolution until the next merge."""
+        meta = self._read_meta(table)
+        if meta is None or len(self.current_dirs(table)) <= 1:
+            return
+        # the resolved frame is computed from the OLD dirs while writing the
+        # new one; the manifest swap after the write is the commit point
+        snap_name = self._write_data_dir(table, self.read(table))
+        self._commit(table, [(snap_name, None)])
+        self._write_meta(table, {**meta, "compacted_snap": snap_name})

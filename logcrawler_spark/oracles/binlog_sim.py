@@ -43,16 +43,106 @@ def frame_field_counts(blob: bytes) -> list[tuple[int, int]]:
     return sorted(counts.items())
 
 
+def _proto_varint_py(payload: bytes, pos: int) -> tuple[int, int]:
+    """Byte-at-a-time varint (int.from_bytes style) — independent of the
+    engine's shift-accumulator loop."""
+    parts = []
+    while True:
+        if pos >= len(payload) or len(parts) >= 10:
+            raise ValueError("truncated varint")
+        b = payload[pos]
+        pos += 1
+        parts.append(b & 0x7F)
+        if not b & 0x80:
+            break
+    val = 0
+    for p in reversed(parts):
+        val = (val << 7) | p
+    return val, pos
+
+
+def decode_proto_py(payload: bytes, fields, redact) -> dict | None:
+    """Independent protobuf wire decoder: collects (field_number,
+    wire_type, raw) triples first, then converts — vs the engine's
+    single-pass convert-as-you-go walk. Same public wire spec."""
+    import struct
+
+    triples = []
+    pos = 0
+    n = len(payload)
+    try:
+        while pos < n:
+            tag, pos = _proto_varint_py(payload, pos)
+            fno, wt = tag >> 3, tag & 7
+            if wt == 0:
+                raw, pos = _proto_varint_py(payload, pos)
+            elif wt in (1, 5):
+                width = 8 if wt == 1 else 4
+                if pos + width > n:
+                    return None
+                raw = payload[pos : pos + width]
+                pos += width
+            elif wt == 2:
+                ln, pos = _proto_varint_py(payload, pos)
+                if pos + ln > n:
+                    return None
+                raw = payload[pos : pos + ln]
+                pos += ln
+            else:
+                return None
+            triples.append((fno, wt, raw))
+    except ValueError:
+        return None
+    by_no = {fno: (fname, ptype) for fno, fname, ptype in fields}
+    out: dict = {}
+    try:
+        for fno, _wt, raw in triples:
+            if fno not in by_no:
+                continue
+            fname, ptype = by_no[fno]
+            if ptype in ("int32", "int64"):
+                v = raw if raw < 1 << 63 else raw - (1 << 64)
+            elif ptype == "sint32":
+                v = (raw // 2) if raw % 2 == 0 else -((raw + 1) // 2)
+            elif ptype == "bool":
+                v = raw != 0
+            elif ptype == "double":
+                (v,) = struct.unpack("<d", raw)
+            elif ptype == "float":
+                (v,) = struct.unpack("<f", raw)
+            elif ptype == "string":
+                v = raw.decode("utf-8")
+            elif ptype == "bytes":
+                v = raw.hex()
+            elif ptype == "packed_float":
+                if len(raw) % 4:
+                    return None
+                v = [
+                    struct.unpack("<f", raw[4 * i : 4 * i + 4])[0]
+                    for i in range(len(raw) // 4)
+                ]
+            else:
+                return None
+            if fname not in redact:
+                out[fname] = v
+    except (struct.error, UnicodeDecodeError):
+        return None
+    return out
+
+
 def decode_framed_payloads_py(blob: bytes) -> list[tuple[int, str, str | None]]:
     """Independent payload decoder: (frame_number, name, canonical_json).
 
     Walks records via :func:`parse_framed_bytes`, then decodes each payload
     with explicit byte slicing + int.from_bytes — independent of the
-    struct.unpack_from offset walk in ``sources.payload_codec``. Shares only
-    the registry (what to decode) and the canonical JSON formatting."""
+    struct.unpack_from offset walk in ``sources.payload_codec``. Proto-
+    registered names decode via :func:`decode_proto_py` (collect-then-
+    convert, vs the engine's single pass). Shares only the registry (what
+    to decode) and the canonical JSON formatting."""
     import struct
 
     from logcrawler_spark.sources.payload_codec import (
+        resolve_proto_schema,
         resolve_schema,
         to_canonical_json,
     )
@@ -60,6 +150,11 @@ def decode_framed_payloads_py(blob: bytes) -> list[tuple[int, str, str | None]]:
     out = []
     for frame_number, name, off, size in parse_framed_bytes(blob):
         payload = blob[off : off + size]
+        proto = resolve_proto_schema(name)
+        if proto is not None:
+            d = decode_proto_py(payload, proto[0], proto[1])
+            out.append((frame_number, name, to_canonical_json(d)))
+            continue
         schema = resolve_schema(name)
         if schema is None:
             out.append((frame_number, name, None))

@@ -468,12 +468,16 @@ def q_binlog_decode(spark, sf_dir):
     representation documents via the name->schema registry
     (``sources/payload_codec.py`` — Parser.parse + MessageToDict analog,
     ``07_input_cognition_data_rust.py:132-145``; alias registration per
-    ``06_extract_images.py:369-370``). 'Unknown' records decode to NULL
-    (T3 policy) and the Scores 'debug' field is redacted.
+    ``06_extract_images.py:369-370``). Three payload families per frame:
+    the repo-defined FRAMED format (DocMeta), a PROTOBUF message decoded
+    by the public wire format (PageFetchTop alias -> PageFetch: varint,
+    zigzag, fixed64, packed floats, an unknown field number that must be
+    skipped, and a redacted field), and an 'Unknown' name that decodes to
+    NULL (T3 policy).
 
     Exact oracle: an independent slice-based decoder over the raw file
-    bytes (``oracles/binlog_sim.decode_framed_payloads_py``) writes the
-    expected rows as the DuckDB fixture."""
+    bytes (``oracles/binlog_sim.decode_framed_payloads_py`` +
+    ``decode_proto_py``) writes the expected rows as the DuckDB fixture."""
     import os
     import struct
     import tempfile
@@ -484,8 +488,10 @@ def q_binlog_decode(spark, sf_dir):
     from logcrawler_spark.oracles.binlog_sim import decode_framed_payloads_py
     from logcrawler_spark.sources.binlog import read_framed_log, slice_payload
     from logcrawler_spark.sources.payload_codec import (
+        _uvarint_enc,
         decode_payloads,
         encode_payload,
+        encode_proto_payload,
     )
 
     docs = (
@@ -495,12 +501,24 @@ def q_binlog_decode(spark, sf_dir):
         .collect()
     )
     path = os.path.join(
-        tempfile.gettempdir(), f"replog_q_{os.path.basename(sf_dir)}.log"
+        tempfile.gettempdir(), f"replog3_q_{os.path.basename(sf_dir)}.log"
     )
     if not os.path.exists(path):
         with open(path + ".tmp", "wb") as f:
             for r in sorted(docs, key=lambda r: r["doc_id"]):
                 i = r["doc_id"]
+                proto = encode_proto_payload(
+                    "PageFetchTop",
+                    {
+                        "url": f"http://host{i % 7}.example.com/d/{i}",
+                        "status": 200 if i % 9 else -1,  # negative varint
+                        "dt_ms": (i % 5) - 2,  # zigzag around zero
+                        "score": (i * 7 % 100) / 4.0,
+                        "weights": [(i + j) % 8 / 4.0 for j in range(3)],
+                        "debug": f"trace-{i}",  # redacted on decode
+                    },
+                    # field 99 is NOT in the schema: forward-compat skip
+                ) + _uvarint_enc((99 << 3) | 0) + _uvarint_enc(7)
                 recs = [
                     (
                         "DocMeta",
@@ -513,21 +531,7 @@ def q_binlog_decode(spark, sf_dir):
                             },
                         ),
                     ),
-                    (
-                        "ScoresTop",  # alias -> Scores schema
-                        encode_payload(
-                            "ScoresTop",
-                            {
-                                "doc_id": i,
-                                "score": (i * 7 % 100) / 4.0,
-                                # multiples of 0.25: exact in f32 AND f64
-                                "weights": [
-                                    (i + j) % 8 / 4.0 for j in range(4)
-                                ],
-                                "debug": f"trace-{i}",
-                            },
-                        ),
-                    ),
+                    ("PageFetchTop", proto),  # alias -> PageFetch proto
                     ("Unknown", b"\x01\x02\x03"),  # unregistered -> NULL
                 ]
                 for name, payload in recs:

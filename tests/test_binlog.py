@@ -201,3 +201,51 @@ def test_payload_codec_roundtrip_property():
         }
 
     check()
+
+
+def test_proto_wire_roundtrip_engine_vs_oracle():
+    """Protobuf wire decode: engine (single-pass) vs oracle (collect-then-
+    convert) must agree on negative varints, zigzag, packed floats,
+    unknown-field skip, redaction, and malformed tails -> None."""
+    from logcrawler_spark.oracles.binlog_sim import decode_proto_py
+    from logcrawler_spark.sources.payload_codec import (
+        _uvarint_enc,
+        decode_proto_dict,
+        encode_proto_payload,
+        resolve_proto_schema,
+    )
+
+    fields, redact = resolve_proto_schema("PageFetchTop")
+    vals = {
+        "url": "http://h.example.com/x",
+        "status": -1,          # 10-byte negative varint
+        "dt_ms": -2,           # zigzag
+        "score": 3.25,
+        "weights": [0.25, 0.5, 7.75],
+        "debug": "secret",
+    }
+    payload = encode_proto_payload("PageFetchTop", vals)
+    # splice in an unknown field number (99, varint) mid-message
+    payload = payload + _uvarint_enc((99 << 3) | 0) + _uvarint_enc(12345)
+    a = decode_proto_dict(payload, fields, redact)
+    b = decode_proto_py(payload, fields, redact)
+    assert a == b
+    assert a["status"] == -1 and a["dt_ms"] == -2
+    assert a["weights"] == [0.25, 0.5, 7.75]
+    assert "debug" not in a  # redacted
+    # malformed: truncated mid-varint and mid-fixed64 -> None on BOTH sides
+    for cut in (payload[:-1], payload[:3], b"\x21\x00"):
+        assert decode_proto_dict(cut, fields, redact) is None
+        assert decode_proto_py(cut, fields, redact) is None
+    # bool + int64 + bytes coverage
+    from logcrawler_spark.sources.payload_codec import register_proto_schema
+
+    register_proto_schema(
+        "T", [(1, "ok", "bool"), (2, "n", "int64"), (3, "raw", "bytes")]
+    )
+    f2, r2 = resolve_proto_schema("T")
+    p2 = encode_proto_payload(
+        "T", {"ok": True, "n": -(1 << 40), "raw": b"\x00\xff"}
+    )
+    a2, b2 = decode_proto_dict(p2, f2, r2), decode_proto_py(p2, f2, r2)
+    assert a2 == b2 == {"ok": True, "n": -(1 << 40), "raw": "00ff"}

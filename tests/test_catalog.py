@@ -60,3 +60,71 @@ def test_snapshots_are_immutable_history(spark, tmp_path):
     assert cat.current_snapshot("t") != first
     # old snapshot still readable (time travel)
     assert spark.read.parquet(first).count() == 3
+
+
+def test_merge_into_deterministic_under_repartition_and_ties(spark, tmp_path):
+    """Duplicate source keys TYING on order_col must resolve identically
+    across runs and partitionings (total order via the stable non-key hash
+    — CLAUDE.md determinism rule, VERDICT r02 wrong #1)."""
+    base = spark.createDataFrame([(1, "a", 10)], "k int, v string, ord int")
+    dups = spark.createDataFrame(
+        [(2, f"v{i}", 7) for i in range(8)] + [(1, "z", 10)],
+        "k int, v string, ord int",
+    )
+    results = []
+    for nparts in (1, 3, 16):
+        cat = Catalog(spark, str(tmp_path / f"c{nparts}"))
+        cat.overwrite("t", base)
+        cat.merge_into("t", dups.repartition(nparts), ["k"], order_col="ord")
+        results.append(sorted(map(tuple, cat.read("t").collect())))
+    assert results[0] == results[1] == results[2]
+    # re-running the same merge into a fresh catalog agrees too
+    cat2 = Catalog(spark, str(tmp_path / "again"))
+    cat2.overwrite("t", base)
+    cat2.merge_into("t", dups.repartition(5), ["k"], order_col="ord")
+    assert sorted(map(tuple, cat2.read("t").collect())) == results[0]
+
+
+def test_merge_into_is_o_delta_io(spark, tmp_path):
+    """Merging k rows into an n-row table must write O(k) — one new data
+    dir holding only the source rows, never a rewrite of the n rows
+    (VERDICT r02 wrong #2)."""
+    cat = Catalog(spark, str(tmp_path))
+    big = spark.range(20000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+        F.lit(0).alias("ord"),
+    )
+    cat.overwrite("t", big)
+    dirs_before = cat.current_dirs("t")
+    delta = spark.createDataFrame(
+        [(5, 999, 1), (20001, 7, 1)], "k long, v long, ord int"
+    ).coalesce(1)
+    cat.merge_into("t", delta, ["k"], order_col="ord")
+    dirs_after = cat.current_dirs("t")
+    # old dirs untouched, exactly one new dir, containing only the 2 rows
+    assert dirs_after[: len(dirs_before)] == dirs_before
+    assert len(dirs_after) == len(dirs_before) + 1
+    assert spark.read.parquet(dirs_after[-1]).count() == 2
+    # resolution: updated + inserted + untouched
+    got = cat.read("t")
+    assert got.count() == 20001
+    assert got.filter(F.col("k") == 5).collect()[0]["v"] == 999
+
+
+def test_merge_into_compaction_restores_single_dir_reads(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path))
+    cat.merge_into(
+        "t",
+        spark.createDataFrame([(1, 1, 0)], "k int, v int, ord int"),
+        ["k"], order_col="ord",
+    )
+    for i in range(2, 20):  # trips compact_after=16
+        cat.merge_into(
+            "t",
+            spark.createDataFrame([(1, i, i), (i, i, i)],
+                                  "k int, v int, ord int"),
+            ["k"], order_col="ord",
+        )
+    assert len(cat.current_dirs("t")) < 19
+    rows = {r["k"]: r["v"] for r in cat.read("t").collect()}
+    assert rows[1] == 19 and len(rows) == 19

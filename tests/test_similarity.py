@@ -318,3 +318,51 @@ def test_ivf_kmeans_self_match_and_recall_not_worse(spark):
         ) / sum(len(t) for t in truth.values())
 
     assert recall(2) >= recall(0) - 1e-9
+
+
+def test_kmeans_production_mean_no_collect_and_matches_fold(spark):
+    """The bit_exact=False production path must (a) never gather member
+    vectors into one row — its plan has NO collect_list, it is a plain
+    per-component avg hash aggregate — and (b) agree with the order-fixed
+    fold within fp rounding (VERDICT r02 wrong #3)."""
+    from logcrawler_spark.operators.similarity import (
+        _cell_means,
+        kmeans_refine_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+
+    assigned = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+        (F.col("vec_id") % 7).alias("cell_id"),
+    )
+    prod_plan = _cell_means(
+        assigned, dim, bit_exact=False
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in prod_plan
+    assert "avg(" in prod_plan
+    oracle_plan = _cell_means(
+        assigned, dim, bit_exact=True
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" in oracle_plan  # the fold really does gather
+
+    exact = {
+        r["cell_id"]: r["cv"]
+        for r in kmeans_refine_centroids(
+            emb, "embedding", "vec_id", n_centroids=8, iters=2,
+            bit_exact=True,
+        ).collect()
+    }
+    prod = {
+        r["cell_id"]: r["cv"]
+        for r in kmeans_refine_centroids(
+            emb, "embedding", "vec_id", n_centroids=8, iters=2,
+            bit_exact=False,
+        ).collect()
+    }
+    assert exact.keys() == prod.keys()
+    for c in exact:
+        d = np.abs(np.array(exact[c]) - np.array(prod[c])).max()
+        assert d < 1e-9, (c, d)
