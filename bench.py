@@ -45,10 +45,15 @@ def main() -> None:
         from logcrawler_spark.operators.dedup import minhash_lsh_pairs
         from logcrawler_spark.sources.pages import _expanded_docs
 
-        docs = (
-            _expanded_docs(spark, sf_dir, int(os.environ.get("BENCH_KERNEL_EXPLODE", "64")))
-            .repartition(cpus * 4)
-            .localCheckpoint(eager=True)
+        from logcrawler_spark.utils import materialize
+
+        # materialize, NOT localCheckpoint: the Dataset->RDD conversion
+        # drops WholeStageCodegen for the upstream expressions (repo rule)
+        docs = materialize(
+            _expanded_docs(
+                spark, sf_dir,
+                int(os.environ.get("BENCH_KERNEL_EXPLODE", "64")),
+            ).repartition(cpus * 4)
         )
         from logcrawler_spark.operators.dedup import minhash_sig_table
 
@@ -107,9 +112,13 @@ def main() -> None:
             "canonical_url", canonicalize_url(F.col("url"))
         ).repartition(64).write.mode("overwrite").parquet(corpus)
     pages = spark.read.parquet(corpus)
-    seeds = generate_seeds(spark, sf_dir, n_hosts, explode_factor=explode)
+    from logcrawler_spark.utils import materialize
+
     robots = generate_robots_rules(spark, n_hosts)
-    seeds = seeds.repartition(cpus).localCheckpoint(eager=True)
+    seeds = materialize(
+        generate_seeds(spark, sf_dir, n_hosts, explode_factor=explode)
+        .repartition(cpus)
+    )
 
     # warm the Python-UDF worker pool: the first pandas-UDF stage pays one
     # pandas+pyarrow import per worker (~10s across 32 workers), which is a

@@ -98,12 +98,19 @@ def simulate_crawl(
     rounds: int = 2,
     budget: int = 8,
     ttl_rounds: int | None = None,
+    windows_per_round: int = 1,
+    window_ms: int = 60_000,
 ) -> SimResult:
     """pages/seeds/robots as pandas DataFrames (column names per FIXTURES.md).
 
     ``ttl_rounds``: recrawl TTL — a URL seen at round s is schedulable
     again from round s + ttl_rounds (mirrors the engine's cuckoo-backed
-    aging; None = seen forever)."""
+    aging; None = seen forever).
+
+    ``windows_per_round``/``window_ms``: windowed politeness — each round
+    spans that many fetch windows, each admitting at most ``budget`` URLs
+    per host; over-budget candidates roll to the next window (slot offset
+    += window_ms), and past the last window they stay unscheduled."""
     # one page per canonical URL, keeping the max (warc_ts, url) row —
     # matches plans.frontier.dedup_pages_lww (with unique canonicals, as in
     # the generated corpus, this reduces to identity)
@@ -160,12 +167,14 @@ def simulate_crawl(
         for c, p in ok.items():
             by_host.setdefault(host_of(c), []).append((p, c))
         scheduled = []
+        total = budget * windows_per_round
         for host, items in by_host.items():
             items.sort(key=lambda t: (-t[0], t[1]))
             delay = delays.get(host, DEFAULT_DELAY_MS)
-            for rank, (p, c) in enumerate(items[:budget], start=1):
+            for rank, (p, c) in enumerate(items[:total], start=1):
+                widx, in_w = divmod(rank - 1, budget)
                 scheduled.append(
-                    (rnd, host, p, c, rank, (rank - 1) * delay)
+                    (rnd, host, p, c, rank, widx * window_ms + in_w * delay)
                 )
         # defined total crawl order
         scheduled.sort(key=lambda t: (t[0], t[1], -t[2], t[3]))

@@ -49,6 +49,7 @@ from logcrawler_spark.plans.bloom import (
 )
 
 PRIORITY_DECAY = 0.5  # child priority = parent * decay (exact in binary fp)
+_BLOOM_COMPACT_EVERY = 8  # rounds between bloom-delta compactions
 
 
 def _with_canonical(pages: DataFrame) -> DataFrame:
@@ -124,6 +125,17 @@ def _lww_dedup_pandas(pdf):
     ).drop_duplicates("canonical_url", keep="first")
 
 
+def robots_per_host(robots: DataFrame) -> DataFrame:
+    """One row per host: (host, __rules array, crawl_delay_ms max) — the
+    broadcast side of :func:`apply_robots`, loop-invariant across rounds."""
+    return robots.groupBy("host").agg(
+        F.collect_list(
+            F.struct(F.col("path_prefix"), F.col("allow"))
+        ).alias("__rules"),
+        F.max("crawl_delay_ms").alias("crawl_delay_ms"),
+    )
+
+
 def apply_robots(cand: DataFrame, robots: DataFrame) -> DataFrame:
     """Longest-prefix-wins robots filter — shuffle-free.
 
@@ -140,13 +152,14 @@ def apply_robots(cand: DataFrame, robots: DataFrame) -> DataFrame:
     (filter -> sort by prefix length desc -> head). The earlier window
     formulation shuffled the full candidate set on canonical_url — at
     10^10 URLs that is the difference between a map-side stage and a
-    terabyte shuffle.
+    terabyte shuffle. Accepts either raw rules or an already-aggregated
+    per-host table (``robots_per_host`` — hoisted out of the round loop by
+    ``run_crawl``, since the aggregation is loop-invariant).
     """
-    per_host = robots.groupBy("host").agg(
-        F.collect_list(
-            F.struct(F.col("path_prefix"), F.col("allow"))
-        ).alias("__rules"),
-        F.max("crawl_delay_ms").alias("crawl_delay_ms"),
+    per_host = (
+        robots
+        if "__rules" in robots.columns
+        else robots_per_host(robots)
     )
     j = cand.join(F.broadcast(per_host), on="host", how="left")
     matches = F.filter(
@@ -179,24 +192,47 @@ def apply_robots(cand: DataFrame, robots: DataFrame) -> DataFrame:
     )
 
 
-def politeness_rank(cand: DataFrame, budget: int, n_salts: int = 16) -> DataFrame:
-    """Per-host top-``budget`` by (priority desc, canonical_url asc), with a
-    salted pre-rank so no task materializes a mega-host's full candidate set
-    (two-phase rank, SURVEY.md §7.4.4). Assigns politeness fetch slots:
-    slot_ms = (rank-1) * crawl_delay."""
+def politeness_rank(
+    cand: DataFrame,
+    budget: int,
+    n_salts: int = 16,
+    windows_per_round: int = 1,
+    window_ms: int = 60_000,
+) -> DataFrame:
+    """Per-host politeness admission by (priority desc, canonical_url asc),
+    with a salted pre-rank so no task materializes a mega-host's full
+    candidate set (two-phase rank, SURVEY.md §7.4.4).
+
+    A round spans ``windows_per_round`` event-time fetch windows of
+    ``window_ms`` each; every window admits at most ``budget`` URLs per
+    host, and candidates beyond a window's budget ROLL to the next window
+    deterministically (the reference's ``sleep(0.5)`` inter-batch pacing,
+    ``12_input_images.py:79``, composed with the T4 windowed-budget
+    operator ``operators.politeness``): window index and in-window slot are
+    pure functions of the host rank, so
+
+        slot_ms = ((rank-1) // budget) * window_ms
+                  + ((rank-1) % budget) * crawl_delay_ms
+
+    Candidates past the LAST window (rank > budget*windows_per_round) are
+    not scheduled this round (and stay unseen, so outlinks can resurface
+    them). ``windows_per_round=1`` is the classic single-window round."""
+    total = budget * windows_per_round
     order = [F.col("priority").desc(), F.col("canonical_url")]
     salt = F.pmod(F.xxhash64("canonical_url"), F.lit(n_salts))
     w_salt = Window.partitionBy("host", salt).orderBy(*order)
     pre = cand.withColumn("__prn", F.row_number().over(w_salt)).filter(
-        F.col("__prn") <= budget
+        F.col("__prn") <= total
     )
     w_host = Window.partitionBy("host").orderBy(*order)
+    rank0 = F.col("host_rank") - 1
     return (
         pre.withColumn("host_rank", F.row_number().over(w_host))
-        .filter(F.col("host_rank") <= budget)
+        .filter(F.col("host_rank") <= total)
         .withColumn(
             "slot_ms",
-            (F.col("host_rank") - 1).cast("long")
+            F.floor(rank0 / budget).cast("long") * window_ms
+            + F.pmod(rank0, F.lit(budget)).cast("long")
             * F.coalesce(F.col("crawl_delay_ms"), F.lit(200)),
         )
         .drop("__prn")
@@ -247,6 +283,8 @@ def crawl_round(
     max_fetch_attempts: int = 3,
     filter_kind: str = "bloom",
     ttl_rounds: int | None = None,
+    windows_per_round: int = 1,
+    window_ms: int = 60_000,
 ) -> CrawlState:
     """Advance one round. ``pages_c`` = pages with canonical_url attached.
 
@@ -368,7 +406,10 @@ def crawl_round(
         )
     allowed = apply_robots(unseen, robots)
     sched = _materialize(
-        politeness_rank(allowed, budget).withColumn("round", F.lit(rnd))
+        politeness_rank(
+            allowed, budget,
+            windows_per_round=windows_per_round, window_ms=window_ms,
+        ).withColumn("round", F.lit(rnd))
     )
     # observations resolve after the first action over the candidate plan
     # (the probe materialize when blooms exist, else the sched materialize)
@@ -493,8 +534,21 @@ def crawl_round(
             delta = build_bloom_table(
                 sched.select("url_hash"), n_buckets=bloom_buckets
             )
-            # `standing` already covers url_seen (bootstrapped if needed)
-            new_blooms = _materialize(merge_bloom_tables(standing, delta))
+            # `filter_in` already covers url_seen (bootstrapped if needed).
+            # The delta rides along LAZILY: the probe kernel ORs every
+            # bloom row of a bucket, so a union of per-round deltas is
+            # probe-equivalent to the merged table — no dedicated
+            # merge-materialize job per round. Deltas are built from the
+            # round's already-materialized sched parquet (bounded lineage),
+            # and every _BLOOM_COMPACT_EVERY rounds the union is compacted
+            # into one row per bucket so a long crawl's probe does not
+            # re-build an ever-growing delta stack.
+            if rnd % _BLOOM_COMPACT_EVERY == 0:
+                new_blooms = _materialize(
+                    merge_bloom_tables(filter_in, delta)
+                )
+            else:
+                new_blooms = filter_in.unionByName(delta)
     round_metrics = (
         sched.groupBy("round", "host")
         .agg(
@@ -546,6 +600,8 @@ def run_crawl(
     max_fetch_attempts: int = 3,
     filter_kind: str = "bloom",
     ttl_rounds: int | None = None,
+    windows_per_round: int = 1,
+    window_ms: int = 60_000,
 ) -> CrawlState:
     """Run ``rounds`` crawl rounds from the seed list.
 
@@ -561,18 +617,23 @@ def run_crawl(
     pages_c = _with_canonical(pages)
     if dedup_pages:
         pages_c = dedup_pages_lww(pages_c)
+    # the robots broadcast side is loop-invariant: aggregate + pin it ONCE
+    # instead of re-aggregating the rule table every round
+    robots_ph = _materialize(robots_per_host(robots))
     empty_seen = spark.createDataFrame(
         [], "url_hash long, canonical_url string, first_seen_round int"
     )
     state = CrawlState(url_seen=empty_seen, candidates=seeds)
     for _ in range(rounds):
         state = crawl_round(
-            state, pages_c, robots, budget, use_bloom,
+            state, pages_c, robots_ph, budget, use_bloom,
             bloom_buckets=bloom_buckets,
             failure_rate_pct=failure_rate_pct,
             max_fetch_attempts=max_fetch_attempts,
             filter_kind=filter_kind,
             ttl_rounds=ttl_rounds,
+            windows_per_round=windows_per_round,
+            window_ms=window_ms,
         )
         if catalog is not None:
             _commit_round(spark, catalog, state, filter_kind)
@@ -655,6 +716,8 @@ def resume_crawl(
     max_fetch_attempts: int = 3,
     filter_kind: str = "bloom",
     ttl_rounds: int | None = None,
+    windows_per_round: int = 1,
+    window_ms: int = 60_000,
 ) -> CrawlState:
     """Resume from the catalog's last committed round and finish the crawl.
 
@@ -692,14 +755,17 @@ def resume_crawl(
         round_no=done,
         blooms=blooms,
     )
+    robots_ph = _materialize(robots_per_host(robots))
     for _ in range(total_rounds - done):
         state = crawl_round(
-            state, pages_c, robots, budget, use_bloom,
+            state, pages_c, robots_ph, budget, use_bloom,
             bloom_buckets=bloom_buckets,
             failure_rate_pct=failure_rate_pct,
             max_fetch_attempts=max_fetch_attempts,
             filter_kind=filter_kind,
             ttl_rounds=ttl_rounds,
+            windows_per_round=windows_per_round,
+            window_ms=window_ms,
         )
         _commit_round(spark, catalog, state, filter_kind)
     return state

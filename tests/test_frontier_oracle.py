@@ -285,3 +285,39 @@ def test_fetch_permanent_failures_drop_pages_and_are_counted(spark):
         0
     ]["pages_fetched_total"]
     assert row["pages_fetched_total"] + row["fetch_failures_total"] == n_clean
+
+
+def test_windowed_politeness_spillover_matches_simulator(spark):
+    """Over-budget candidates roll to later fetch windows (slot offset +=
+    window_ms) instead of being dropped at the single-window budget; the
+    engine must match the simulator EXACTLY, and at least one host must
+    actually spill (>budget URLs scheduled in one round)."""
+    pages = generate_pages(spark, SF_SMOKE, n_hosts=N_HOSTS)
+    seeds = generate_seeds(spark, SF_SMOKE, n_hosts=N_HOSTS)
+    robots = generate_robots_rules(spark, n_hosts=N_HOSTS)
+    budget, wpr, wms = 2, 3, 10_000
+
+    st = run_crawl(
+        spark, pages, seeds, robots, rounds=2, budget=budget,
+        windows_per_round=wpr, window_ms=wms,
+    )
+    got = sorted(
+        (r["round"], r["host"], r["priority"], r["canonical_url"],
+         r["host_rank"], r["slot_ms"])
+        for r in st.schedule.collect()
+    )
+    sim = simulate_crawl(
+        pages.toPandas(), seeds.toPandas(), robots.toPandas(), 2, budget,
+        windows_per_round=wpr, window_ms=wms,
+    )
+    want = sorted((t[0], t[1], t[2], t[3], t[4], t[5]) for t in sim.schedule)
+    assert got == want
+    # something actually spilled into a later window
+    spilled = [t for t in got if t[4] > budget]
+    assert spilled, "no host exceeded the per-window budget"
+    assert all(t[5] >= wms for t in spilled)  # later-window slot offsets
+    # and no (host, round, window) ever exceeds the budget
+    from collections import Counter
+
+    per_win = Counter((t[0], t[1], t[5] // wms) for t in got)
+    assert max(per_win.values()) <= budget
