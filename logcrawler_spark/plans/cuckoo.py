@@ -369,6 +369,8 @@ def filter_not_seen_cuckoo(
     n_buckets: int = 32,
     bucket_transform=None,
     return_flagged: bool = False,
+    pin: str = "parquet",
+    confirm: str = "join",
 ):
     """candidates minus url_seen with the cuckoo table as the prefilter —
     same contract/plan shape as ``bloom.filter_not_seen`` (cogrouped bucket
@@ -379,7 +381,7 @@ def filter_not_seen_cuckoo(
     keys = key_cols or [hash_col]
     return cogroup_filter_not_seen(
         candidates, url_seen, cuckoos, cuckoo_probe_rows, hash_col, keys,
-        n_buckets, bucket_transform, return_flagged,
+        n_buckets, bucket_transform, return_flagged, pin, confirm,
     )
 
 

@@ -272,6 +272,31 @@ def _materialize(df: DataFrame) -> DataFrame:
     return materialize(df)
 
 
+def _stage_clock():
+    """Per-action wall clock, enabled by CRAWL_STAGE_TIMES=1 (stderr).
+
+    The crawl's N->4N scaling is floor-bound at bench batch sizes, so
+    optimizing it requires knowing which ACTION the time sits in — this is
+    the measuring stick, not a profiler guess."""
+    import os
+    import sys
+    import time
+
+    if not os.environ.get("CRAWL_STAGE_TIMES"):
+        return lambda label: None
+    state = {"t": time.monotonic()}
+
+    def mark(label: str) -> None:
+        now = time.monotonic()
+        print(
+            f"[crawl-stage] {label}: {now - state['t']:.3f}s",
+            file=sys.stderr,
+        )
+        state["t"] = now
+
+    return mark
+
+
 def crawl_round(
     state: CrawlState,
     pages_c: DataFrame,
@@ -318,6 +343,7 @@ def crawl_round(
         )
 
     rnd = state.round_no + 1
+    mark = _stage_clock()
     # with TTL, rows seen at round <= rnd - ttl have aged out: they are
     # schedulable again, so the exact membership set excludes them (keys
     # re-seen later keep their newer row)
@@ -332,14 +358,14 @@ def crawl_round(
     )
 
     if use_bloom:
-        # keyed candidates flow straight into the bloom-probe cogroup, whose
-        # materialization (inside filter_not_seen) is the ONE write that
-        # pins the canonicalization regexes for every downstream stage. The
-        # within-batch LWW dedup runs INSIDE the probe kernel: same
-        # canonical -> same url_hash -> same bucket, so it rides the probe's
-        # shuffle and the dedicated dedup window shuffle is gone
-        # (VERDICT r01 task 9). Round 1 probes an EMPTY bloom table (every
-        # row definitely-new) so the fused path applies from the start.
+        # keyed candidates flow straight into the bloom-probe cogroup; its
+        # cached output is the ONE evaluation of the canonicalization
+        # regexes for every downstream stage. The within-batch LWW dedup
+        # runs INSIDE the probe kernel: same canonical -> same url_hash ->
+        # same bucket, so it rides the probe's shuffle and the dedicated
+        # dedup window shuffle is gone (VERDICT r01 task 9). Round 1 probes
+        # an EMPTY bloom table (every row definitely-new) so the fused path
+        # applies from the start.
         standing = state.blooms
         if standing is None and state.round_no > 0:
             # bootstrap BEFORE the probe (resume from a catalog lacking a
@@ -380,7 +406,16 @@ def crawl_round(
             if filter_kind == "cuckoo"
             else filter_not_seen
         )
-        unseen, flagged = probe(
+        # confirm="inline": the exact confirm of filter positives happens
+        # INSIDE the probe kernel against the bucket's url_seen keys (same
+        # url_hash -> same bucket, colocated by the probe's one shuffle).
+        # The probe therefore has a single downstream consumer — no fan-out
+        # to pin, no separate anti-join stage barriers, no probe job of its
+        # own: the whole candidate path (canonicalize -> dedup -> probe ->
+        # exact confirm -> robots -> politeness) is ONE materializing job
+        # per round (the sched write). n_cand rides as an Observation
+        # between the kernel and the seen-filter.
+        flagged = probe(
             keyed,
             eff_seen,
             filter_in,
@@ -388,9 +423,14 @@ def crawl_round(
             key_cols=["url_hash", "canonical_url"],
             n_buckets=bloom_buckets,
             bucket_transform=_lww_dedup_pandas,
-            return_flagged=True,
+            confirm="inline",
         )
-        n_cand = flagged.count()  # parquet-footer count: metadata only
+        obs_probe = Observation(f"probe_{rnd}")
+        unseen = (
+            flagged.observe(obs_probe, F.count(F.lit(1)).alias("n_cand"))
+            .filter(~F.col("__seen"))
+            .drop("__seen")
+        )
     else:
         obs_dedup = Observation(f"dedup_{rnd}")
         cand = dedup_batch(keyed).observe(
@@ -405,16 +445,20 @@ def crawl_round(
             n_buckets=bloom_buckets,
         )
     allowed = apply_robots(unseen, robots)
+    mark(f"r{rnd} plan-build")
     sched = _materialize(
         politeness_rank(
             allowed, budget,
             windows_per_round=windows_per_round, window_ms=window_ms,
         ).withColumn("round", F.lit(rnd))
     )
+    mark(f"r{rnd} probe+robots+politeness+sched-write")
     # observations resolve after the first action over the candidate plan
-    # (the probe materialize when blooms exist, else the sched materialize)
+    # (the sched materialize above)
     n_raw = int(obs_cand.get["n_raw"])
-    if not use_bloom:
+    if use_bloom:
+        n_cand = int(obs_probe.get["n_cand"])
+    else:
         n_cand = int(obs_dedup.get["n_cand"])
 
     # fetch + extract + expand in ONE pass over the corpus:
@@ -479,6 +523,7 @@ def crawl_round(
             (F.col("__parent_priority") * PRIORITY_DECAY).alias("priority"),
         )
     )
+    mark(f"r{rnd} fetch+extract+outlinks-write")
     got = obs.get
     n_fetched = int(got["n_fetched"])
     bytes_extracted = int(got["bytes_extracted"])
@@ -549,6 +594,7 @@ def crawl_round(
                 )
             else:
                 new_blooms = filter_in.unionByName(delta)
+    mark(f"r{rnd} filter-maintenance")
     round_metrics = (
         sched.groupBy("round", "host")
         .agg(
