@@ -98,7 +98,8 @@ def main() -> None:
         "## Workloads",
         "",
         "1. **crawl** — full frontier pipeline (canonicalize -> batch dedup",
-        "   -> Bloom+exact URL-seen anti-join -> robots broadcast join ->",
+        "   -> bloom probe with in-kernel exact URL-seen confirm ->",
+        "   robots broadcast join ->",
         "   per-host politeness rank -> broadcast fetch join over the",
         f"   {sample['explode_factor']}x-amplified parquet corpus ->",
         "   vectorized extract + outlink expansion), "
@@ -144,8 +145,8 @@ def main() -> None:
         "8 threads measures the hypervisor, not the engine, so the N->4N",
         "evidence uses local[2] -> local[8]; local[32] rows are kept for",
         "transparency. On a real multi-executor cluster the per-round",
-        "driver-orchestration floor (~10 jobs/round, constant) additionally",
-        "amortizes over much larger per-round batches.",
+        "driver-orchestration floor (2 materializing jobs/round, constant)",
+        "additionally amortizes over much larger per-round batches.",
         "",
         "## Raw runs",
         "",
@@ -156,6 +157,11 @@ def main() -> None:
             for r in results[w][c]:
                 lines.append(json.dumps(r))
     lines += ["```", ""]
+    # the hand-maintained decomposition evidence survives regeneration
+    floor = os.path.join(REPO, "BENCH", "FLOOR.md")
+    if os.path.exists(floor):
+        with open(floor) as f:
+            lines += [f.read()]
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(out_path, "w") as f:
         f.write("\n".join(lines))

@@ -22,10 +22,13 @@ Real kernels (pure numpy — no PIL/opencv needed):
   pixels). All moments are exact int64 sums; the float outputs derive from
   them by one fixed formula, so two engines agree bit-for-bit.
 
-Container-codec calls (JPEG/ffmpeg) remain STUBBED — those libs are not in
-this image — as clearly-marked ``NotImplementedError`` raises plus a
-deterministic fake decoder that keeps the Spark-side contract (schema,
-batch shape, partitioning) real and testable.
+Container codecs are REAL and in-repo (no external libs): PNG
+(``operators/png_codec.py``, RFC 2083) and baseline JPEG
+(``operators/jpeg_codec.py``, ITU-T T.81), each verified against an
+independent pure-Python oracle decoder. Only audio/video (ffmpeg-class)
+remains a clearly-marked stub; ``decode_blob_metadata`` keeps a
+deterministic fake for plumbing tests whose results a SQL oracle can
+reproduce.
 """
 
 from __future__ import annotations
@@ -146,17 +149,35 @@ def image_stats(
     )
 
 
-def real_image_decode(payload: bytes):  # pragma: no cover - stub
-    """Decode an image payload to (width, height, pixels).
+def real_image_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a CONTAINER image payload to (width, height, pixel array).
 
-    STUB: pillow/opencv are not available in this environment. At
-    deployment this body becomes ``PIL.Image.open(io.BytesIO(payload))``;
-    the surrounding Spark plumbing does not change.
+    REAL codecs, implemented in this repo from the public specs — no
+    PIL/opencv needed:
+
+    - PNG (``\\x89PNG``): :mod:`operators.png_codec` (RFC 2083; full
+      scanline-filter support, tEXt metadata).
+    - JPEG (``\\xff\\xd8``): :mod:`operators.jpeg_codec` (ITU-T T.81
+      baseline sequential, 4:4:4/4:2:2/4:2:0, restart markers) — the
+      reference's decode path (``06_extract_images.py:232-267``).
+
+    Raw sensor formats (YUV422) go through :func:`decode_yuv422_rgb`,
+    which needs out-of-band dimensions.
     """
-    raise NotImplementedError(
-        "image codec not available in this environment; "
-        "use decode_blob_metadata (deterministic fake) for plumbing tests"
-    )
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from logcrawler_spark.operators.png_codec import png_decode
+
+        img, _ = png_decode(payload)
+    elif payload[:2] == b"\xff\xd8":
+        from logcrawler_spark.operators.jpeg_codec import jpeg_decode
+
+        img = jpeg_decode(payload)
+    else:
+        raise ValueError(
+            f"unrecognized image container (magic {payload[:4]!r}); "
+            "PNG and baseline JPEG are supported"
+        )
+    return int(img.shape[1]), int(img.shape[0]), img
 
 
 def real_audio_frame_sample(payload: bytes, rate_hz: int):  # pragma: no cover

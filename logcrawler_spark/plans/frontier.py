@@ -310,6 +310,7 @@ def crawl_round(
     ttl_rounds: int | None = None,
     windows_per_round: int = 1,
     window_ms: int = 60_000,
+    probe_confirm: str = "inline",
 ) -> CrawlState:
     """Advance one round. ``pages_c`` = pages with canonical_url attached.
 
@@ -406,31 +407,55 @@ def crawl_round(
             if filter_kind == "cuckoo"
             else filter_not_seen
         )
-        # confirm="inline": the exact confirm of filter positives happens
-        # INSIDE the probe kernel against the bucket's url_seen keys (same
-        # url_hash -> same bucket, colocated by the probe's one shuffle).
-        # The probe therefore has a single downstream consumer — no fan-out
-        # to pin, no separate anti-join stage barriers, no probe job of its
-        # own: the whole candidate path (canonicalize -> dedup -> probe ->
-        # exact confirm -> robots -> politeness) is ONE materializing job
-        # per round (the sched write). n_cand rides as an Observation
-        # between the kernel and the seen-filter.
-        flagged = probe(
-            keyed,
-            eff_seen,
-            filter_in,
-            hash_col="url_hash",
-            key_cols=["url_hash", "canonical_url"],
-            n_buckets=bloom_buckets,
-            bucket_transform=_lww_dedup_pandas,
-            confirm="inline",
-        )
-        obs_probe = Observation(f"probe_{rnd}")
-        unseen = (
-            flagged.observe(obs_probe, F.count(F.lit(1)).alias("n_cand"))
-            .filter(~F.col("__seen"))
-            .drop("__seen")
-        )
+        if probe_confirm == "inline":
+            # the exact confirm of filter positives happens INSIDE the
+            # probe kernel against the bucket's url_seen keys (same
+            # url_hash -> same bucket, colocated by the probe's one
+            # shuffle). The probe therefore has a single downstream
+            # consumer — no fan-out to pin, no separate anti-join stage
+            # barriers, no probe job of its own: the whole candidate path
+            # (canonicalize -> dedup -> probe -> exact confirm -> robots
+            # -> politeness) is ONE materializing job per round (the sched
+            # write). n_cand rides as an Observation between the kernel
+            # and the seen-filter. Trade: the effective url_seen keys
+            # transit the probe shuffle + Arrow every round — the right
+            # default while candidates and url_seen are the same order of
+            # magnitude (a growing crawl's steady state).
+            flagged = probe(
+                keyed,
+                eff_seen,
+                filter_in,
+                hash_col="url_hash",
+                key_cols=["url_hash", "canonical_url"],
+                n_buckets=bloom_buckets,
+                bucket_transform=_lww_dedup_pandas,
+                confirm="inline",
+            )
+            obs_probe = Observation(f"probe_{rnd}")
+            unseen = (
+                flagged.observe(obs_probe, F.count(F.lit(1)).alias("n_cand"))
+                .filter(~F.col("__seen"))
+                .drop("__seen")
+            )
+        else:
+            # "join": bloom negatives BYPASS the exact anti-join entirely,
+            # so url_seen is only scanned by the (selective) confirm join —
+            # the right choice once |url_seen| >> |round candidates| (a
+            # mature 10^10-key frontier with bucketed storage, where the
+            # confirm join prunes by key bucket instead of shipping every
+            # seen key through Python). Costs one extra materializing job
+            # per round (the probe pin).
+            unseen, flagged = probe(
+                keyed,
+                eff_seen,
+                filter_in,
+                hash_col="url_hash",
+                key_cols=["url_hash", "canonical_url"],
+                n_buckets=bloom_buckets,
+                bucket_transform=_lww_dedup_pandas,
+                return_flagged=True,
+            )
+            n_cand = flagged.count()  # parquet-footer count: metadata only
     else:
         obs_dedup = Observation(f"dedup_{rnd}")
         cand = dedup_batch(keyed).observe(
@@ -454,10 +479,12 @@ def crawl_round(
     )
     mark(f"r{rnd} probe+robots+politeness+sched-write")
     # observations resolve after the first action over the candidate plan
-    # (the sched materialize above)
+    # (the sched materialize above, or the probe pin in "join" mode)
     n_raw = int(obs_cand.get["n_raw"])
     if use_bloom:
-        n_cand = int(obs_probe.get["n_cand"])
+        if probe_confirm == "inline":
+            n_cand = int(obs_probe.get["n_cand"])
+        # "join" mode counted n_cand off the probe parquet footers already
     else:
         n_cand = int(obs_dedup.get["n_cand"])
 
@@ -648,6 +675,7 @@ def run_crawl(
     ttl_rounds: int | None = None,
     windows_per_round: int = 1,
     window_ms: int = 60_000,
+    probe_confirm: str = "inline",
 ) -> CrawlState:
     """Run ``rounds`` crawl rounds from the seed list.
 
@@ -680,6 +708,7 @@ def run_crawl(
             ttl_rounds=ttl_rounds,
             windows_per_round=windows_per_round,
             window_ms=window_ms,
+            probe_confirm=probe_confirm,
         )
         if catalog is not None:
             _commit_round(spark, catalog, state, filter_kind)
@@ -764,6 +793,7 @@ def resume_crawl(
     ttl_rounds: int | None = None,
     windows_per_round: int = 1,
     window_ms: int = 60_000,
+    probe_confirm: str = "inline",
 ) -> CrawlState:
     """Resume from the catalog's last committed round and finish the crawl.
 
@@ -812,6 +842,7 @@ def resume_crawl(
             ttl_rounds=ttl_rounds,
             windows_per_round=windows_per_round,
             window_ms=window_ms,
+            probe_confirm=probe_confirm,
         )
         _commit_round(spark, catalog, state, filter_kind)
     return state

@@ -1,0 +1,95 @@
+"""Video catalog ingest — the reference's ``09_input_videos.py`` re-shaped.
+
+The reference walks ``<root>/<game_folder>/videos/*``, splits the filename
+on ``_`` taking field index 7 (extension stripped) as the video type, and
+upserts ``(game, relative path, type)`` rows one REST call at a time
+(``09_input_videos.py:29-33``). Spark-first: one metadata-only
+``binaryFile`` scan (column pruning keeps the content column unread — the
+listing never pays for the video bytes), pure Column expressions for the
+path/field parsing, and a single batched idempotent upsert through
+``catalog.merge_into`` instead of a per-file API round trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+VIDEO_CATALOG_COLS = [
+    "game_folder", "video_path", "video_type", "n_bytes", "modified_ts",
+]
+
+
+def scan_video_files(
+    spark: SparkSession, root: str, glob: str = "*.mp4"
+) -> DataFrame:
+    """Recursive metadata-only listing of ``root`` (path, size, mtime).
+
+    ``binaryFile`` with only path/length/modificationTime selected prunes
+    the ``content`` column, so no video byte is ever read — at a real
+    archive (TBs of footage) this is a listing job, not a scan job.
+    """
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select("path", "length", "modificationTime")
+    )
+
+
+def parse_video_catalog(files: DataFrame, root: str) -> DataFrame:
+    """(path, length, modificationTime) -> catalog rows.
+
+    Semantics pinned to the reference: ``video_path`` is the path relative
+    to the log root (``str(video).removeprefix(log_root_path).strip('/')``),
+    ``game_folder`` the first relative segment, and ``video_type`` the
+    8th ``_``-separated filename field with its extension stripped
+    (``video_parsed[7]``, ``Path(...).stem``). Files whose ``videos/``
+    parent convention or field count does not match yield a NULL type
+    rather than dropping the row (the catalog keeps the file visible for
+    triage — the reference would crash on IndexError instead).
+    """
+    # normalize: strip scheme (file:) and the root prefix, then leading /
+    rel = F.regexp_replace(
+        F.regexp_replace(F.col("path"), r"^[a-zA-Z][a-zA-Z0-9+.-]*:", ""),
+        r"^" + root.rstrip("/").replace(".", r"\.") + "/",
+        "",
+    )
+    fname = F.element_at(F.split(rel, "/"), -1)
+    fields = F.split(fname, "_")
+    vtype = F.when(
+        F.size(fields) >= 8,
+        F.regexp_replace(F.element_at(fields, 8), r"\.[^.]*$", ""),
+    )
+    return files.select(
+        F.element_at(F.split(rel, "/"), 1).alias("game_folder"),
+        rel.alias("video_path"),
+        vtype.alias("video_type"),
+        F.col("length").alias("n_bytes"),
+        F.col("modificationTime").cast("timestamp").alias("modified_ts"),
+    ).filter(F.array_contains(F.split(rel, "/"), "videos"))
+
+
+def ingest_video_catalog(
+    spark: SparkSession,
+    root: str,
+    catalog,
+    table: str = "videos",
+    glob: str = "*.mp4",
+) -> DataFrame:
+    """Scan ``root`` and upsert the parsed rows into ``catalog.<table>``
+    keyed by (game_folder, video_path) — re-running after new footage
+    lands adds only the new rows; re-running unchanged is a no-op
+    (last-writer-wins on modified_ts). Returns the committed table."""
+    rows = parse_video_catalog(scan_video_files(spark, root, glob), root)
+    if catalog.exists(table):
+        catalog.merge_into(
+            table,
+            rows,
+            key_cols=["game_folder", "video_path"],
+            order_col="modified_ts",
+        )
+    else:
+        catalog.overwrite(table, rows)
+    return catalog.read(table)

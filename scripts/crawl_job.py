@@ -29,6 +29,19 @@ def main() -> None:
     ap.add_argument("--n-hosts", type=int, default=500)
     ap.add_argument("--explode", type=int, default=1)
     ap.add_argument("--out", required=True)
+    ap.add_argument(
+        "--filter-kind", choices=["bloom", "cuckoo"], default="bloom",
+        help="URL-seen prefilter (cuckoo supports deletion -> TTL recrawl)",
+    )
+    ap.add_argument(
+        "--ttl-rounds", type=int, default=None,
+        help="recrawl TTL in rounds (requires --filter-kind cuckoo)",
+    )
+    ap.add_argument(
+        "--windows-per-round", type=int, default=1,
+        help="fetch windows per round; over-budget URLs spill to later windows",
+    )
+    ap.add_argument("--window-ms", type=int, default=60_000)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -50,16 +63,22 @@ def main() -> None:
     robots = generate_robots_rules(spark, args.n_hosts)
     cat = Catalog(spark, args.out)
 
+    knobs = dict(
+        budget=args.budget,
+        filter_kind=args.filter_kind,
+        ttl_rounds=args.ttl_rounds,
+        windows_per_round=args.windows_per_round,
+        window_ms=args.window_ms,
+    )
     if cat.exists("round_marker"):
         state = resume_crawl(
-            spark, pages, robots, cat, total_rounds=args.rounds,
-            budget=args.budget,
+            spark, pages, robots, cat, total_rounds=args.rounds, **knobs
         )
     else:
         seeds = generate_seeds(spark, args.sf_dir, args.n_hosts, args.explode)
         state = run_crawl(
-            spark, pages, seeds, robots, rounds=args.rounds,
-            budget=args.budget, catalog=cat,
+            spark, pages, seeds, robots, rounds=args.rounds, catalog=cat,
+            **knobs,
         )
 
     per_round = [

@@ -287,6 +287,37 @@ def test_fetch_permanent_failures_drop_pages_and_are_counted(spark):
     assert row["pages_fetched_total"] + row["fetch_failures_total"] == n_clean
 
 
+def test_probe_confirm_join_matches_inline(spark):
+    """The two exact-confirm strategies (in-kernel vs anti-join, both over
+    the same bloom prefilter) are plan-level alternatives with identical
+    semantics: same schedule (ranks + slots), same URL-seen set, same
+    candidate counts in metrics."""
+    pages = generate_pages(spark, SF_SMOKE, n_hosts=N_HOSTS)
+    seeds = generate_seeds(spark, SF_SMOKE, n_hosts=N_HOSTS)
+    robots = generate_robots_rules(spark, n_hosts=N_HOSTS)
+
+    def run(mode):
+        st = run_crawl(
+            spark, pages, seeds, robots, rounds=2, budget=4,
+            probe_confirm=mode,
+        )
+        sched = sorted(
+            (r["round"], r["host"], r["canonical_url"], r["host_rank"],
+             r["slot_ms"])
+            for r in st.schedule.collect()
+        )
+        seen = {r["canonical_url"] for r in st.url_seen.collect()}
+        cand = sorted(
+            (r["round"], r["urls_candidates_total"])
+            for r in st.metrics.select(
+                "round", "urls_candidates_total"
+            ).distinct().collect()
+        )
+        return sched, seen, cand
+
+    assert run("inline") == run("join")
+
+
 def test_windowed_politeness_spillover_matches_simulator(spark):
     """Over-budget candidates roll to later fetch windows (slot offset +=
     window_ms) instead of being dropped at the single-window budget; the
