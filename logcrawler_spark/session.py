@@ -53,6 +53,12 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
+    # ad-hoc conf injection for profiling runs (e.g. eventLog) without
+    # touching call sites: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2"
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, _, v = kv.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
