@@ -174,6 +174,44 @@ class Catalog:
                 return self._resolve_merged(dirs, meta)
         return self.spark.read.parquet(*dirs)
 
+    def tags(self, table: str) -> list[int]:
+        """Distinct commit tags (crawl rounds) in order — the table's
+        time-travel axis."""
+        seen: dict[int, None] = {}
+        for _n, t in self._read_manifest(table):
+            if t is not None:
+                seen[t] = None
+        return list(seen)
+
+    def read_at(self, table: str, as_of_tag: int) -> DataFrame:
+        """Tag-based time travel (the Iceberg snapshot-as-of analog).
+
+        Returns the table as committed at tag (crawl round) <= ``as_of_tag``:
+        untagged base snapshots always participate; tagged appends after
+        the requested tag are excluded — a pure manifest filter, no data
+        IO beyond the selected immutable dirs. Merge-on-read tables
+        resolve LWW over only the selected dirs, so the result is exactly
+        what :meth:`read` returned when that tag was HEAD.
+        """
+        entries = [
+            (n, t)
+            for n, t in self._read_manifest(table)
+            if t is None or t <= as_of_tag
+        ]
+        if not entries:
+            raise FileNotFoundError(
+                f"table {table!r} has no snapshot at or before tag"
+                f" {as_of_tag}"
+            )
+        tdir = self._table_dir(table)
+        dirs = [os.path.join(tdir, n) for n, _t in entries]
+        meta = self._read_meta(table)
+        if meta is not None:
+            names = [n for n, _t in entries]
+            if names != [meta.get("compacted_snap")]:
+                return self._resolve_merged(dirs, meta)
+        return self.spark.read.parquet(*dirs)
+
     def overwrite(self, table: str, df: DataFrame, n_buckets: int | None = None,
                   bucket_col: str | None = None) -> None:
         """Replace table contents in a new snapshot.

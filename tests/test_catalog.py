@@ -128,3 +128,33 @@ def test_merge_into_compaction_restores_single_dir_reads(spark, tmp_path):
     assert len(cat.current_dirs("t")) < 19
     rows = {r["k"]: r["v"] for r in cat.read("t").collect()}
     assert rows[1] == 19 and len(rows) == 19
+
+
+def test_read_at_time_travel_over_tagged_rounds(spark, tmp_path):
+    """read_at(tag) reproduces exactly what read() returned when that tag
+    was HEAD — the Iceberg snapshot-as-of analog over crawl rounds."""
+    cat = Catalog(spark, str(tmp_path))
+    for rnd in (1, 2, 3):
+        cat.append(
+            "seen",
+            spark.range(rnd * 10, rnd * 10 + 3).withColumn(
+                "round", F.lit(rnd)
+            ),
+            tag=rnd,
+        )
+    assert cat.tags("seen") == [1, 2, 3]
+    assert cat.read("seen").count() == 9
+    at2 = cat.read_at("seen", 2)
+    assert sorted(r["id"] for r in at2.collect()) == [10, 11, 12, 20, 21, 22]
+    assert cat.read_at("seen", 1).count() == 3
+    # a tag before the first commit has no snapshot
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        cat.read_at("seen", 0)
+    # untagged base snapshots participate at every tag
+    cat2 = Catalog(spark, str(tmp_path / "c2"))
+    cat2.overwrite("t", spark.range(2))
+    cat2.append("t", spark.range(100, 102), tag=5)
+    assert cat2.read_at("t", 4).count() == 2
+    assert cat2.read_at("t", 5).count() == 4
