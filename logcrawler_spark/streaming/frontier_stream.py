@@ -1,0 +1,201 @@
+"""Continuous frontier feed — the crawl's candidate path as a stream.
+
+Between batch rounds, a production crawler keeps DISCOVERING urls (link
+extractors, sitemaps, WARC drops). This module is that path as one
+Structured Streaming pipeline, built from the same primitives the batch
+rounds use — identical canonicalization, identical robots matcher,
+bucket-identical URL-seen state — so a URL admitted by the stream is
+exactly the URL the next batch round would have admitted:
+
+    raw (url, priority) stream
+      -> canonicalize_candidates          (pure Column exprs — stream-safe)
+      -> stateful URL-seen dedup          (applyInPandasWithState keyed by
+         pmod(url_hash, n_buckets): the SAME bucket layout as the batch
+         url_seen table, so state shards like the table)
+      -> robots broadcast filter          (plans.frontier.apply_robots —
+         a stream-static broadcast join, shuffle-free)
+      -> per-host politeness admission    (applyInPandasWithState keyed by
+         host: at most ``budget`` urls per host per fetch window, slots
+         spaced by the host's crawl_delay; over-budget urls ROLL to the
+         next window — the streaming twin of the batch windowed
+         politeness_rank)
+
+Admission state per host is (window_index, used_in_window): a stream is
+unbounded, so the politeness budget cannot be a rank over a finished
+round — it is a rolling token allocation, deterministic in arrival order
+within each micro-batch (the kernel sorts its batch by (priority desc,
+canonical_url) first, so per-batch output is batch-content-deterministic
+regardless of partition arrival).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+CAND_SCHEMA = (
+    "canonical_url string, host string, path string, url_hash long,"
+    " priority double"
+)
+ADMIT_SCHEMA = (
+    "canonical_url string, host string, priority double, window_idx long,"
+    " slot_ms long"
+)
+
+
+def _dedup_candidates_group(key, pdfs, state: GroupState):
+    """First arrival per url_hash wins (its full candidate row emits)."""
+    if state.exists:
+        (seen_bytes,) = state.get
+        seen = set(np.frombuffer(seen_bytes, dtype=np.int64).tolist())
+    else:
+        seen = set()
+    outs = []
+    for pdf in pdfs:
+        mask = []
+        for h in pdf["url_hash"]:
+            h = int(h)
+            fresh = h not in seen
+            if fresh:
+                seen.add(h)
+            mask.append(fresh)
+        if any(mask):
+            outs.append(pdf.loc[mask, [
+                "canonical_url", "host", "path", "url_hash", "priority"
+            ]])
+    state.update((np.array(sorted(seen), dtype=np.int64).tobytes(),))
+    yield (
+        pd.concat(outs)
+        if outs
+        else pd.DataFrame(
+            columns=["canonical_url", "host", "path", "url_hash", "priority"]
+        )
+    )
+
+
+def streaming_candidate_dedup(cand: DataFrame, n_buckets: int = 16) -> DataFrame:
+    """Exactly-once candidate emission, bucket-sharded like url_seen."""
+    return (
+        cand.withColumn(
+            "__bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets))
+        )
+        .groupBy("__bucket")
+        .applyInPandasWithState(
+            _dedup_candidates_group,
+            outputStructType=CAND_SCHEMA,
+            stateStructType="seen binary",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def _admit_group_fn(budget: int, window_ms: int, default_delay_ms: int):
+    def _admit(key, pdfs, state: GroupState):
+        if state.exists:
+            widx, used = state.get
+        else:
+            widx, used = 0, 0
+        chunks = list(pdfs)
+        pdf = (
+            pd.concat(chunks)
+            if chunks
+            else pd.DataFrame(
+                columns=["canonical_url", "host", "priority", "crawl_delay_ms"]
+            )
+        )
+        if pdf.empty:
+            state.update((int(widx), int(used)))
+            yield pd.DataFrame(
+                columns=[
+                    "canonical_url", "host", "priority", "window_idx",
+                    "slot_ms",
+                ]
+            )
+            return
+        # batch-content determinism: admission order is (priority desc,
+        # canonical_url), never partition arrival
+        pdf = pdf.sort_values(
+            ["priority", "canonical_url"], ascending=[False, True],
+            kind="mergesort",
+        )
+        delay = pdf["crawl_delay_ms"].iloc[0]
+        delay = int(delay) if pd.notna(delay) else default_delay_ms
+        rows = []
+        for _, r in pdf.iterrows():
+            if used >= budget:  # window exhausted: roll to the next
+                widx += 1
+                used = 0
+            rows.append(
+                (
+                    r["canonical_url"], r["host"], float(r["priority"]),
+                    int(widx), int(widx) * window_ms + used * delay,
+                )
+            )
+            used += 1
+        state.update((int(widx), int(used)))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "canonical_url", "host", "priority", "window_idx", "slot_ms",
+            ],
+        )
+
+    return _admit
+
+
+def streaming_politeness_admit(
+    allowed: DataFrame,
+    budget: int,
+    window_ms: int = 60_000,
+    default_delay_ms: int = 200,
+) -> DataFrame:
+    """Rolling per-host fetch-slot allocation: at most ``budget`` urls per
+    host per window, slots spaced by the host's crawl_delay, spillover to
+    later windows — state is two ints per host."""
+    return allowed.groupBy("host").applyInPandasWithState(
+        _admit_group_fn(budget, window_ms, default_delay_ms),
+        outputStructType=ADMIT_SCHEMA,
+        stateStructType="window_idx long, used long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_frontier_feed(
+    raw: DataFrame,
+    robots: DataFrame,
+    budget: int = 8,
+    window_ms: int = 60_000,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """(url, priority) stream -> admitted fetch schedule stream.
+
+    ``robots`` is a STATIC rule table (host, path_prefix, allow,
+    crawl_delay_ms) — broadcast per micro-batch, the stream side never
+    shuffles for it.
+    """
+    from logcrawler_spark.plans.frontier import (
+        apply_robots,
+        canonicalize_candidates,
+    )
+
+    cand = canonicalize_candidates(raw)
+    # Structured Streaming permits ONE applyInPandasWithState per query, so
+    # the composed feed spends it on the politeness admission (no built-in
+    # equivalent exists) and dedups with the ENGINE-NATIVE streaming
+    # dropDuplicates — first arrival per url_hash wins, state sharded by
+    # the key exactly like the url_seen bucket layout (and RocksDB-backed
+    # on a real cluster). streaming_candidate_dedup remains available as
+    # the standalone custom-state twin (and carries the full row when the
+    # politeness stage is not in the same query).
+    fresh = cand.dropDuplicates(["url_hash"]) if raw.isStreaming else (
+        streaming_candidate_dedup(cand, n_buckets=n_buckets)
+    )
+    allowed = apply_robots(fresh, robots)
+    return streaming_politeness_admit(
+        allowed, budget, window_ms=window_ms
+    )

@@ -1,0 +1,91 @@
+"""Continuous frontier feed: exactly-once emission across micro-batches,
+robots enforcement, rolling per-host politeness windows."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from logcrawler_spark.streaming.frontier_stream import stream_frontier_feed
+
+
+def _write_batches(spark, root):
+    """Two arrival batches with cross-batch duplicates and a disallowed
+    path; file order drives micro-batch order (maxFilesPerTrigger=1)."""
+    b1 = [
+        ("http://a.org/p1", 0.9),
+        ("http://a.org/p2", 0.8),
+        ("http://a.org/p3", 0.7),
+        ("http://b.org/x", 0.5),
+        ("http://a.org/blocked/secret", 0.99),
+    ]
+    b2 = [
+        ("http://a.org/p1", 0.95),   # dup of batch 1 -> must NOT re-emit
+        ("http://a.org/p4", 0.6),
+        ("http://a.org/p5", 0.55),
+        ("http://b.org/y", 0.4),
+    ]
+    for i, rows in enumerate([b1, b2]):
+        spark.createDataFrame(rows, "url string, priority double").coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(root, f"b{i}"))
+
+
+def test_stream_feed_dedups_filters_and_paces(spark, tmp_path):
+    src = str(tmp_path / "arrivals")
+    _write_batches(spark, src)
+    robots = spark.createDataFrame(
+        [("a.org", "/blocked", False, 100)],
+        "host string, path_prefix string, allow boolean, crawl_delay_ms int",
+    )
+    stream = (
+        spark.readStream.schema("url string, priority double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    out = stream_frontier_feed(stream, robots, budget=2, window_ms=10_000)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("feed")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM feed").collect()
+    by_url = {r["canonical_url"]: r for r in rows}
+
+    # exactly-once across batches; robots-disallowed never admitted
+    urls = sorted(by_url)
+    assert urls == [
+        "http://a.org/p1", "http://a.org/p2", "http://a.org/p3",
+        "http://a.org/p4", "http://a.org/p5",
+        "http://b.org/x", "http://b.org/y",
+    ]
+    # batch 1, host a.org (budget 2, delay 100ms): p1,p2 in window 0 at
+    # slots 0/100; p3 rolls to window 1
+    assert (by_url["http://a.org/p1"]["window_idx"],
+            by_url["http://a.org/p1"]["slot_ms"]) == (0, 0)
+    assert (by_url["http://a.org/p2"]["window_idx"],
+            by_url["http://a.org/p2"]["slot_ms"]) == (0, 100)
+    assert (by_url["http://a.org/p3"]["window_idx"],
+            by_url["http://a.org/p3"]["slot_ms"]) == (1, 10_000)
+    # batch 2 continues window 1 (one slot used): p4 fills it, p5 rolls on
+    assert (by_url["http://a.org/p4"]["window_idx"],
+            by_url["http://a.org/p4"]["slot_ms"]) == (1, 10_100)
+    assert (by_url["http://a.org/p5"]["window_idx"],
+            by_url["http://a.org/p5"]["slot_ms"]) == (2, 20_000)
+    # b.org has no robots row -> default 200ms delay, own windows
+    assert (by_url["http://b.org/x"]["window_idx"],
+            by_url["http://b.org/x"]["slot_ms"]) == (0, 0)
+    assert (by_url["http://b.org/y"]["window_idx"],
+            by_url["http://b.org/y"]["slot_ms"]) == (0, 200)
+    # per (host, window) budget is never exceeded
+    from collections import Counter
+
+    per_win = Counter((r["host"], r["window_idx"]) for r in rows)
+    assert max(per_win.values()) <= 2
