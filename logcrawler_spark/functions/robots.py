@@ -84,11 +84,14 @@ def parse_robots_txt(
         elif field == "crawl-delay":
             in_group_header = False
             try:
-                cur_delay = int(float(value) * 1000)
+                cur_delay = int(float(value) * 1000)  # last in group wins
             except ValueError:
                 pass
-        elif field == "sitemap":
-            continue  # group-independent; not part of the rule table
+        else:
+            # sitemap / unrecognized fields: ignored as rules, but any
+            # non-user-agent line ENDS a user-agent header run — a later
+            # User-agent line starts a NEW group (RFC 9309 §2.2.1)
+            in_group_header = False
     flush()
 
     # most specific agent token = longest token that is a substring of ua

@@ -668,3 +668,66 @@ def q_map_ops(spark, sf_dir):
         F.size(F.col("m")).cast("long").alias("n_types"),
         F.array_join(entries, ",").alias("type_counts"),
     )
+
+
+def _robots_bodies(n_hosts: int = 40) -> list[tuple[str, str]]:
+    """Deterministic robots.txt corpus — every RFC 9309 feature the parser
+    handles, as a pure function of the host index."""
+    out = []
+    for i in range(n_hosts):
+        host = f"h{i:03d}.example.org"
+        lines = []
+        if i % 4 == 0:
+            lines += ["User-agent: megabot", "Disallow: /", ""]
+        if i % 9 == 0:
+            # star-only host: the fallback group applies to us
+            lines += ["User-agent: *", f"Disallow: /star{i % 3}", ""]
+        else:
+            lines += ["# generated", "User-agent: logcrawler"]
+            if i % 6 == 0:
+                lines += ["User-agent: friendcrawler"]
+            lines += [f"Disallow: /d{i % 7}/"]
+            if i % 3 == 0:
+                lines += [f"Allow: /d{i % 7}/keep"]
+            if i % 5 == 0:
+                lines += [f"Disallow: /w{i % 4}*/x", "Disallow: /gone$"]
+            if i % 2 == 0:
+                lines += [f"Crawl-delay: {(i % 5) / 2}"]
+            lines += ["", "User-agent: *", "Disallow: /everything"]
+        out.append((host, "\n".join(lines)))
+    return out
+
+
+@register("q_robots_parse", fixture_sql("q_robots_parse"))
+def q_robots_parse(spark, sf_dir):
+    """F2 front half: raw /robots.txt bodies -> the broadcast rule table
+    (RFC 9309 — group selection by most-specific agent, * fallback,
+    wildcard-to-prefix reduction, Crawl-delay). Exact oracle: an
+    INDEPENDENT two-pass tokenizer parser (``oracles/robots_sim.py``)
+    over the same bodies materializes the expected rows as the DuckDB
+    fixture."""
+    import pandas as pd
+
+    from logcrawler_spark.functions.robots import robots_rules_from_bodies
+    from logcrawler_spark.oracles import write_fixture
+    from logcrawler_spark.oracles.robots_sim import parse_robots_txt_py
+
+    bodies = _robots_bodies()
+    if oracle_applies(sf_dir):
+        rows = []
+        for host, body in bodies:
+            rules, delay = parse_robots_txt_py(body, "logcrawler")
+            for prefix, allow in rules:
+                rows.append((host, prefix, allow, delay))
+            if not rules and delay is not None:
+                rows.append((host, None, True, delay))
+        write_fixture(
+            "q_robots_parse",
+            sf_dir,
+            pd.DataFrame(
+                rows,
+                columns=["host", "path_prefix", "allow", "crawl_delay_ms"],
+            ).astype({"crawl_delay_ms": "Int32"}),
+        )
+    df = spark.createDataFrame(bodies, "host string, robots_txt string")
+    return robots_rules_from_bodies(df, user_agent="logcrawler")
