@@ -189,10 +189,18 @@ class Catalog:
         Returns the table as committed at tag (crawl round) <= ``as_of_tag``:
         untagged base snapshots always participate; tagged appends after
         the requested tag are excluded — a pure manifest filter, no data
-        IO beyond the selected immutable dirs. Merge-on-read tables
-        resolve LWW over only the selected dirs, so the result is exactly
-        what :meth:`read` returned when that tag was HEAD.
+        IO beyond the selected immutable dirs. Supported for append-tagged
+        tables (the crawl's url_seen/schedule/metrics/lineage); merge-on-
+        read tables commit their dirs UNTAGGED, so no historical point is
+        identifiable and the call raises rather than silently returning
+        current data labeled as historical.
         """
+        if self._read_meta(table) is not None:
+            raise ValueError(
+                f"table {table!r} is merge-on-read: its data dirs carry no"
+                " tags, so tag-based time travel cannot reconstruct a past"
+                " state — read() returns the current resolved table"
+            )
         entries = [
             (n, t)
             for n, t in self._read_manifest(table)
@@ -205,11 +213,6 @@ class Catalog:
             )
         tdir = self._table_dir(table)
         dirs = [os.path.join(tdir, n) for n, _t in entries]
-        meta = self._read_meta(table)
-        if meta is not None:
-            names = [n for n, _t in entries]
-            if names != [meta.get("compacted_snap")]:
-                return self._resolve_merged(dirs, meta)
         return self.spark.read.parquet(*dirs)
 
     def overwrite(self, table: str, df: DataFrame, n_buckets: int | None = None,
@@ -223,11 +226,19 @@ class Catalog:
         if n_buckets and bucket_col:
             df = df.repartition(n_buckets, F.pmod(F.col(bucket_col), F.lit(n_buckets)))
         snap_name = self._write_data_dir(table, df)
-        self._commit(table, [(snap_name, None)])
         # overwrite replaces contents VERBATIM: stale merge metadata would
-        # re-apply LWW over the new rows and silently drop duplicates
-        if os.path.exists(self._meta_path(table)):
-            os.remove(self._meta_path(table))
+        # re-apply LWW over the new rows and silently drop duplicates.
+        # Ordering is crash-safe in BOTH windows: meta is re-pointed at the
+        # new snapshot BEFORE the manifest swap (crash between the two
+        # leaves the OLD manifest, whose dirs != [new snap], so reads still
+        # resolve LWW with the old key_cols — correct old contents); after
+        # the swap, manifest == [compacted_snap] and reads are verbatim.
+        # Deleting meta after the swap instead would leave a window where
+        # the NEW table is silently LWW-deduped.
+        meta = self._read_meta(table)
+        if meta is not None:
+            self._write_meta(table, {**meta, "compacted_snap": snap_name})
+        self._commit(table, [(snap_name, None)])
 
     def append(self, table: str, df: DataFrame, tag: int | None = None,
                n_buckets: int | None = None,
@@ -283,10 +294,17 @@ class Catalog:
             "order_col": order_col,
         }
         if meta["key_cols"] != key_cols or meta.get("order_col") != order_col:
-            raise ValueError(
-                f"merge keys for {table!r} differ from the table's merge"
-                f" metadata {meta}"
-            )
+            names = [n for n, _t in self._read_manifest(table)]
+            if names == [meta.get("compacted_snap")]:
+                # fully compacted (e.g. just overwritten): contents are
+                # verbatim, no pending resolution depends on the old keys —
+                # the table may be re-keyed
+                meta = {"key_cols": key_cols, "order_col": order_col}
+            else:
+                raise ValueError(
+                    f"merge keys for {table!r} differ from the table's merge"
+                    f" metadata {meta}"
+                )
         self._write_meta(table, meta)
         snap_name = self._write_data_dir(table, source)
         entries = self._read_manifest(table) + [(snap_name, None)]

@@ -148,7 +148,6 @@ def filter_not_seen(
     n_buckets: int = 32,
     bucket_transform=None,
     return_flagged: bool = False,
-    pin: str = "parquet",
     confirm: str = "join",
 ):
     """candidates minus url_seen, with optional Bloom pre-split.
@@ -195,7 +194,7 @@ def filter_not_seen(
 
     return cogroup_filter_not_seen(
         candidates, url_seen, blooms, _bloom_probe, hash_col, keys,
-        n_buckets, bucket_transform, return_flagged, pin, confirm,
+        n_buckets, bucket_transform, return_flagged, confirm,
     )
 
 
@@ -209,7 +208,6 @@ def cogroup_filter_not_seen(
     n_buckets: int,
     bucket_transform=None,
     return_flagged: bool = False,
-    pin: str = "parquet",
     confirm: str = "join",
 ):
     """Shared cogrouped-probe skeleton for any per-bucket membership filter
@@ -222,9 +220,8 @@ def cogroup_filter_not_seen(
     - ``"join"`` (default): the probed frame splits into fresh (filter
       negative — definitely new) and maybe rows; maybe rows are confirmed
       by a left-anti join against ``url_seen``. The two-consumer fan-out
-      is pinned per ``pin`` ("parquet": eager scratch-parquet round trip,
-      its own job; "cache": ``persist()``, caller owns unpersist and must
-      populate the cache with one action or the consumers race).
+      is pinned by an eager scratch-parquet round trip (its own job;
+      callers read the flagged count off parquet footers for free).
     - ``"inline"``: the bucket's ``url_seen`` KEYS ride the candidate side
       of the same cogroup (same url_hash -> same bucket, so they are
       colocated by the one shuffle that already happens), and the kernel
@@ -318,7 +315,7 @@ def cogroup_filter_not_seen(
         out["__maybe"] = probe_rows_fn(tbl_pdf, hs)
         return out
 
-    probe_plan = (
+    flagged = materialize(
         candidates.withColumn(
             "__bucket", F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int")
         )
@@ -326,7 +323,6 @@ def cogroup_filter_not_seen(
         .cogroup(tables.groupBy("bucket"))
         .applyInPandas(_probe, schema=flagged_schema)
     )
-    flagged = probe_plan.persist() if pin == "cache" else materialize(probe_plan)
     fresh = flagged.filter(~F.col("__maybe")).drop("__maybe")
     confirm_df = (
         flagged.filter(F.col("__maybe"))

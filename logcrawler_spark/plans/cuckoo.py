@@ -369,7 +369,6 @@ def filter_not_seen_cuckoo(
     n_buckets: int = 32,
     bucket_transform=None,
     return_flagged: bool = False,
-    pin: str = "parquet",
     confirm: str = "join",
 ):
     """candidates minus url_seen with the cuckoo table as the prefilter —
@@ -381,7 +380,7 @@ def filter_not_seen_cuckoo(
     keys = key_cols or [hash_col]
     return cogroup_filter_not_seen(
         candidates, url_seen, cuckoos, cuckoo_probe_rows, hash_col, keys,
-        n_buckets, bucket_transform, return_flagged, pin, confirm,
+        n_buckets, bucket_transform, return_flagged, confirm,
     )
 
 

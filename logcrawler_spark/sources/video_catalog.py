@@ -45,17 +45,24 @@ def parse_video_catalog(files: DataFrame, root: str) -> DataFrame:
     to the log root (``str(video).removeprefix(log_root_path).strip('/')``),
     ``game_folder`` the first relative segment, and ``video_type`` the
     8th ``_``-separated filename field with its extension stripped
-    (``video_parsed[7]``, ``Path(...).stem``). Files whose ``videos/``
-    parent convention or field count does not match yield a NULL type
-    rather than dropping the row (the catalog keeps the file visible for
-    triage — the reference would crash on IndexError instead).
+    (``video_parsed[7]``, ``Path(...).stem``). Only files under a
+    ``videos/`` directory are catalog rows (the reference scans only that
+    folder); within it, a filename with too few ``_`` fields yields a
+    NULL type rather than dropping the row (the reference would crash on
+    IndexError instead).
     """
-    # normalize: strip scheme (file:) and the root prefix, then leading /
-    rel = F.regexp_replace(
-        F.regexp_replace(F.col("path"), r"^[a-zA-Z][a-zA-Z0-9+.-]*:", ""),
-        r"^" + root.rstrip("/").replace(".", r"\.") + "/",
-        "",
+    # normalize: strip the scheme (file:), then the literal root prefix by
+    # LENGTH (no regex — a root containing regex metacharacters must not
+    # break the strip); paths outside root keep their absolute form and
+    # fall out at the videos/ filter
+    no_scheme = F.regexp_replace(
+        F.col("path"), r"^[a-zA-Z][a-zA-Z0-9+.-]*:", ""
     )
+    prefix = root.rstrip("/") + "/"
+    rel = F.when(
+        no_scheme.startswith(prefix),
+        F.substring(no_scheme, len(prefix) + 1, 1 << 20),
+    ).otherwise(no_scheme)
     fname = F.element_at(F.split(rel, "/"), -1)
     fields = F.split(fname, "_")
     vtype = F.when(
@@ -79,17 +86,28 @@ def ingest_video_catalog(
     glob: str = "*.mp4",
 ) -> DataFrame:
     """Scan ``root`` and upsert the parsed rows into ``catalog.<table>``
-    keyed by (game_folder, video_path) — re-running after new footage
-    lands adds only the new rows; re-running unchanged is a no-op
-    (last-writer-wins on modified_ts). Returns the committed table."""
+    keyed by (game_folder, video_path). The merge source is the DELTA
+    only — rows identical to the committed table (all columns) are
+    anti-joined away first — so re-running over an unchanged archive
+    writes nothing and an incremental run writes O(new files), never a
+    full-listing data dir per run. Returns the committed table."""
     rows = parse_video_catalog(scan_video_files(spark, root, glob), root)
     if catalog.exists(table):
-        catalog.merge_into(
-            table,
-            rows,
-            key_cols=["game_folder", "video_path"],
-            order_col="modified_ts",
-        )
+        cur = catalog.read(table)
+        # null-safe equality: a NULL video_type row must match its
+        # committed twin, or it would re-append on every run
+        cond = None
+        for c in rows.columns:
+            term = rows[c].eqNullSafe(cur[c])
+            cond = term if cond is None else cond & term
+        delta = rows.join(cur, on=cond, how="left_anti")
+        if not delta.isEmpty():
+            catalog.merge_into(
+                table,
+                delta,
+                key_cols=["game_folder", "video_path"],
+                order_col="modified_ts",
+            )
     else:
         catalog.overwrite(table, rows)
     return catalog.read(table)

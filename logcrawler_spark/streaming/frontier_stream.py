@@ -170,7 +170,6 @@ def stream_frontier_feed(
     robots: DataFrame,
     budget: int = 8,
     window_ms: int = 60_000,
-    n_buckets: int = 16,
 ) -> DataFrame:
     """(url, priority) stream -> admitted fetch schedule stream.
 
@@ -183,6 +182,11 @@ def stream_frontier_feed(
         canonicalize_candidates,
     )
 
+    if not raw.isStreaming:
+        raise ValueError(
+            "stream_frontier_feed requires a streaming DataFrame — the"
+            " batch candidate path is plans.frontier.crawl_round"
+        )
     cand = canonicalize_candidates(raw)
     # Structured Streaming permits ONE applyInPandasWithState per query, so
     # the composed feed spends it on the politeness admission (no built-in
@@ -190,11 +194,8 @@ def stream_frontier_feed(
     # dropDuplicates — first arrival per url_hash wins, state sharded by
     # the key exactly like the url_seen bucket layout (and RocksDB-backed
     # on a real cluster). streaming_candidate_dedup remains available as
-    # the standalone custom-state twin (and carries the full row when the
-    # politeness stage is not in the same query).
-    fresh = cand.dropDuplicates(["url_hash"]) if raw.isStreaming else (
-        streaming_candidate_dedup(cand, n_buckets=n_buckets)
-    )
+    # the standalone custom-state twin for single-stateful-stage queries.
+    fresh = cand.dropDuplicates(["url_hash"])
     allowed = apply_robots(fresh, robots)
     return streaming_politeness_admit(
         allowed, budget, window_ms=window_ms

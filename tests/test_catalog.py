@@ -158,3 +158,50 @@ def test_read_at_time_travel_over_tagged_rounds(spark, tmp_path):
     cat2.append("t", spark.range(100, 102), tag=5)
     assert cat2.read_at("t", 4).count() == 2
     assert cat2.read_at("t", 5).count() == 4
+
+
+def test_overwrite_over_merged_table_is_verbatim_and_crash_safe(spark, tmp_path):
+    """Overwrite must not leave a window where stale merge metadata
+    LWW-dedupes the new contents; mid-overwrite crashes keep the OLD
+    table readable and correctly resolved."""
+    cat = Catalog(spark, str(tmp_path))
+    cat.overwrite("t", spark.createDataFrame([(1, "a")], "k int, v string"))
+    cat.merge_into(
+        "t", spark.createDataFrame([(1, "b")], "k int, v string"), ["k"]
+    )
+    assert {(r["k"], r["v"]) for r in cat.read("t").collect()} == {(1, "b")}
+
+    # simulate a crash INSIDE overwrite: new data dir + re-pointed meta
+    # written, manifest swap never happened -> reads still resolve the OLD
+    # state with the old keys
+    dup = spark.createDataFrame([(7, "x"), (7, "x")], "k int, v string")
+    snap = cat._write_data_dir("t", dup)
+    meta = cat._read_meta("t")
+    cat._write_meta("t", {**meta, "compacted_snap": snap})
+    assert {(r["k"], r["v"]) for r in cat.read("t").collect()} == {(1, "b")}
+
+    # the completed overwrite is verbatim: duplicate rows SURVIVE
+    cat.overwrite("t", dup)
+    assert cat.read("t").count() == 2
+    # and the table can be re-keyed by a later merge: the duplicate (7,x)
+    # pair collapses under the new (k,v) key, the merged (1,x) row joins
+    cat.merge_into(
+        "t",
+        spark.createDataFrame([("x", 1)], "v string, k int").select("k", "v"),
+        ["k", "v"],
+    )
+    assert {(r["k"], r["v"]) for r in cat.read("t").collect()} == {
+        (7, "x"), (1, "x")
+    }
+
+
+def test_read_at_rejects_merge_on_read_tables(spark, tmp_path):
+    import pytest as _pytest
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.overwrite("m", spark.createDataFrame([(1, "a")], "k int, v string"))
+    cat.merge_into(
+        "m", spark.createDataFrame([(1, "b")], "k int, v string"), ["k"]
+    )
+    with _pytest.raises(ValueError, match="merge-on-read"):
+        cat.read_at("m", 1)

@@ -32,6 +32,42 @@ def _write_batches(spark, root):
         ).write.mode("overwrite").parquet(os.path.join(root, f"b{i}"))
 
 
+def test_streaming_candidate_dedup_carries_full_rows(spark, tmp_path):
+    """The standalone custom-state dedup (for single-stateful-stage
+    queries) emits each url_hash once with its full candidate row."""
+    from logcrawler_spark.plans.frontier import canonicalize_candidates
+    from logcrawler_spark.streaming.frontier_stream import (
+        streaming_candidate_dedup,
+    )
+
+    src = str(tmp_path / "cand_arrivals")
+    _write_batches(spark, src)
+    stream = (
+        spark.readStream.schema("url string, priority double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    out = streaming_candidate_dedup(canonicalize_candidates(stream))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_feed")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM dedup_feed").collect()
+    urls = sorted(r["canonical_url"] for r in rows)
+    assert len(urls) == len(set(urls)) == 8  # 9 arrivals, 1 cross-batch dup
+    by_url = {r["canonical_url"]: r for r in rows}
+    # first arrival wins: the batch-1 priority survives the batch-2 dup
+    assert by_url["http://a.org/p1"]["priority"] == 0.9
+    assert by_url["http://a.org/p1"]["host"] == "a.org"
+    assert by_url["http://a.org/p1"]["path"] == "/p1"
+
+
 def test_stream_feed_dedups_filters_and_paces(spark, tmp_path):
     src = str(tmp_path / "arrivals")
     _write_batches(spark, src)
