@@ -367,7 +367,11 @@ class _BitReader:
         """Consume the pending RSTn marker and byte-align."""
         self.acc = 0
         self.n = 0
-        assert self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        if not (
+            self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected restart marker")
         self.pos += 2
 
 
@@ -404,7 +408,21 @@ def _extend(v: int, s: int) -> int:
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (h, w) grayscale or (h, w, 3) RGB uint8."""
+    """Baseline JFIF bytes -> (h, w) grayscale or (h, w, 3) RGB uint8.
+
+    Malformed input contract (T3 policy, ADVICE r03): ANY structurally
+    broken payload — truncated mid-segment or mid-scan, short marker
+    lengths, missing tables — raises ``ValueError``, never a bare
+    ``IndexError``/``struct.error``/``KeyError``, so callers implementing
+    the malformed-payload-to-NULL policy can catch one exception type.
+    """
+    try:
+        return _jpeg_decode_impl(data)
+    except (IndexError, struct.error, KeyError) as exc:
+        raise ValueError(f"truncated or corrupt JPEG: {exc!r}") from exc
+
+
+def _jpeg_decode_impl(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2

@@ -110,7 +110,9 @@ def simulate_crawl(
     ``windows_per_round``/``window_ms``: windowed politeness — each round
     spans that many fetch windows, each admitting at most ``budget`` URLs
     per host; over-budget candidates roll to the next window (slot offset
-    += window_ms), and past the last window they stay unscheduled."""
+    += the host's window stride, max(window_ms, budget*delay) so slow
+    hosts never collide across window boundaries), and past the last
+    window they stay unscheduled."""
     # one page per canonical URL, keeping the max (warc_ts, url) row —
     # matches plans.frontier.dedup_pages_lww (with unique canonicals, as in
     # the generated corpus, this reduces to identity)
@@ -171,10 +173,11 @@ def simulate_crawl(
         for host, items in by_host.items():
             items.sort(key=lambda t: (-t[0], t[1]))
             delay = delays.get(host, DEFAULT_DELAY_MS)
+            stride = max(window_ms, budget * delay)
             for rank, (p, c) in enumerate(items[:total], start=1):
                 widx, in_w = divmod(rank - 1, budget)
                 scheduled.append(
-                    (rnd, host, p, c, rank, widx * window_ms + in_w * delay)
+                    (rnd, host, p, c, rank, widx * stride + in_w * delay)
                 )
         # defined total crawl order
         scheduled.sort(key=lambda t: (t[0], t[1], -t[2], t[3]))

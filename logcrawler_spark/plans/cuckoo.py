@@ -182,17 +182,24 @@ def build_cuckoo_table(
     hash_col: str = "url_hash",
     n_buckets: int = 32,
     m_rows: int | None = None,
+    min_m_rows_by_bucket: dict[int, int] | None = None,
 ) -> DataFrame:
     """One cuckoo table per hash bucket (m_rows x 4 slots of uint16).
 
     ``m_rows=None`` (default) auto-sizes each bucket's table from its key
-    count for <= ~85% load; pass an explicit power of two to pin it."""
+    count for <= ~85% load; pass an explicit power of two to pin it.
+    ``min_m_rows_by_bucket`` raises the floor per bucket (power of two) —
+    the growth pass uses it so a stash-overflow rebuild at low load still
+    doubles instead of churning at the same size (ADVICE r03)."""
     assert n_buckets & (n_buckets - 1) == 0
     assert m_rows is None or m_rows & (m_rows - 1) == 0
+    mins = min_m_rows_by_bucket or {}
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         hashes = pdf[hash_col].to_numpy().astype(np.uint64)
+        bkt = int(pdf["__bucket"].iloc[0])
         m = m_rows if m_rows is not None else _auto_m_rows(len(pdf))
+        m = max(m, int(mins.get(bkt, 0)))
         table = np.zeros((m, SLOTS_PER_ROW), dtype=np.uint16)
         kicks, homeless = _insert_many(table, hashes)
         return pd.DataFrame(
@@ -326,19 +333,30 @@ def grow_overfull_buckets(
         "bucket", "m_rows", "n_items",
         F.coalesce(F.length("stash"), F.lit(0)).alias("stash_len"),
     ).collect()
-    over = [
-        int(r["bucket"])
-        for r in stats
-        if r["stash_len"] > 0
-        or int(r["n_items"]) > load_factor * int(r["m_rows"]) * SLOTS_PER_ROW
-    ]
+    over: list[int] = []
+    mins: dict[int, int] = {}
+    for r in stats:
+        bkt, m = int(r["bucket"]), int(r["m_rows"])
+        load_hit = int(r["n_items"]) > load_factor * m * SLOTS_PER_ROW
+        stash_hit = r["stash_len"] > 0
+        if not (load_hit or stash_hit):
+            continue
+        over.append(bkt)
+        if stash_hit and not load_hit:
+            # stash overflow at low load: auto-sizing would return the SAME
+            # m_rows and the bucket could stash again next round — rebuild
+            # at >= 2x so every growth trigger makes size progress
+            mins[bkt] = 2 * m
     if not over:
         return cuckoos
     keep = cuckoos.filter(~F.col("bucket").isin(over))
     src = exact_keys.filter(
         F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int").isin(over)
     )
-    rebuilt = build_cuckoo_table(src, hash_col=hash_col, n_buckets=n_buckets)
+    rebuilt = build_cuckoo_table(
+        src, hash_col=hash_col, n_buckets=n_buckets,
+        min_m_rows_by_bucket=mins,
+    )
     return keep.unionByName(rebuilt)
 
 

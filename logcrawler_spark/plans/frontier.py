@@ -211,8 +211,19 @@ def politeness_rank(
     operator ``operators.politeness``): window index and in-window slot are
     pure functions of the host rank, so
 
-        slot_ms = ((rank-1) // budget) * window_ms
-                  + ((rank-1) % budget) * crawl_delay_ms
+        stride_ms = max(window_ms, budget * crawl_delay_ms)
+        slot_ms   = ((rank-1) // budget) * stride_ms
+                    + ((rank-1) % budget) * crawl_delay_ms
+
+    The per-host window STRIDE is ``max(window_ms, budget*delay)``, not
+    ``window_ms`` alone: with a slow host (budget*delay > window_ms) the
+    last slots of window N would otherwise spill past the start of window
+    N+1 and same-host fetches would collide, violating crawl_delay. With
+    the stride, window N's last slot is ``N*stride + (budget-1)*delay`` and
+    window N+1 opens at ``(N+1)*stride >= N*stride + budget*delay`` — at
+    least one full delay after it, so inter-fetch spacing holds across
+    window boundaries too (ADVICE r03; mirrored in the simulator oracle and
+    the streaming twin).
 
     Candidates past the LAST window (rank > budget*windows_per_round) are
     not scheduled this round (and stay unseen, so outlinks can resurface
@@ -226,14 +237,15 @@ def politeness_rank(
     )
     w_host = Window.partitionBy("host").orderBy(*order)
     rank0 = F.col("host_rank") - 1
+    delay = F.coalesce(F.col("crawl_delay_ms"), F.lit(200)).cast("long")
+    stride = F.greatest(F.lit(window_ms).cast("long"), F.lit(budget) * delay)
     return (
         pre.withColumn("host_rank", F.row_number().over(w_host))
         .filter(F.col("host_rank") <= total)
         .withColumn(
             "slot_ms",
-            F.floor(rank0 / budget).cast("long") * window_ms
-            + F.pmod(rank0, F.lit(budget)).cast("long")
-            * F.coalesce(F.col("crawl_delay_ms"), F.lit(200)),
+            F.floor(rank0 / budget).cast("long") * stride
+            + F.pmod(rank0, F.lit(budget)).cast("long") * delay,
         )
         .drop("__prn")
     )

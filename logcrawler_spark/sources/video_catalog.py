@@ -45,11 +45,13 @@ def parse_video_catalog(files: DataFrame, root: str) -> DataFrame:
     to the log root (``str(video).removeprefix(log_root_path).strip('/')``),
     ``game_folder`` the first relative segment, and ``video_type`` the
     8th ``_``-separated filename field with its extension stripped
-    (``video_parsed[7]``, ``Path(...).stem``). Only files under a
-    ``videos/`` directory are catalog rows (the reference scans only that
-    folder); within it, a filename with too few ``_`` fields yields a
-    NULL type rather than dropping the row (the reference would crash on
-    IndexError instead).
+    (``video_parsed[7]``, ``Path(...).stem``). Only files exactly at
+    ``<game_folder>/videos/<file>`` (the reference globs only that folder)
+    are catalog rows — a ``videos`` segment at any other depth, or a file
+    outside ``root`` (rel path still absolute after the strip), is
+    excluded; within the layout, a filename with too few ``_`` fields
+    yields a NULL type rather than dropping the row (the reference would
+    crash on IndexError instead).
     """
     # normalize: strip the scheme (file:), then the literal root prefix by
     # LENGTH (no regex — a root containing regex metacharacters must not
@@ -69,13 +71,24 @@ def parse_video_catalog(files: DataFrame, root: str) -> DataFrame:
         F.size(fields) >= 8,
         F.regexp_replace(F.element_at(fields, 8), r"\.[^.]*$", ""),
     )
+    # layout gate (ADVICE r03): the reference scans exactly
+    # <game_folder>/videos/* — so the SECOND path segment must be
+    # 'videos' (not any depth), and a rel path that is still absolute
+    # (root-strip failed: file outside root) is dropped rather than
+    # minting a bogus game_folder from a parent directory name
+    segs = F.split(rel, "/")
+    in_layout = (
+        ~rel.startswith("/")
+        & (F.size(segs) == 3)
+        & (F.try_element_at(segs, F.lit(2)) == "videos")
+    )
     return files.select(
-        F.element_at(F.split(rel, "/"), 1).alias("game_folder"),
+        F.element_at(segs, 1).alias("game_folder"),
         rel.alias("video_path"),
         vtype.alias("video_type"),
         F.col("length").alias("n_bytes"),
         F.col("modificationTime").cast("timestamp").alias("modified_ts"),
-    ).filter(F.array_contains(F.split(rel, "/"), "videos"))
+    ).filter(in_layout)
 
 
 def ingest_video_catalog(

@@ -77,7 +77,20 @@ def _dedup_candidates_group(key, pdfs, state: GroupState):
 
 
 def streaming_candidate_dedup(cand: DataFrame, n_buckets: int = 16) -> DataFrame:
-    """Exactly-once candidate emission, bucket-sharded like url_seen."""
+    """Exactly-once candidate emission, bucket-sharded like url_seen.
+
+    UNBOUNDED-STATE CAVEAT (ADVICE r03): the ``applyInPandasWithState``
+    contract replaces a group's state wholesale on ``state.update`` — there
+    is no append-delta API — so every micro-batch rewrites the bucket's
+    full accumulated hash set (O(|seen|/n_buckets) serialization per bucket
+    per batch) and, with ``NoTimeout``, the set grows for the life of the
+    query. That is the exactly-once-forever semantic, priced honestly; it
+    is fine for bounded recrawl jobs and tests. For an unbounded production
+    feed use the engine-native path ``stream_frontier_feed`` takes instead:
+    ``dropDuplicates`` (RocksDB-backed incremental state on a cluster), or
+    ``dropDuplicatesWithinWatermark`` when a seen-TTL is acceptable, which
+    evicts state past the watermark and bounds it by the dedup horizon.
+    """
     return (
         cand.withColumn(
             "__bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets))
@@ -124,6 +137,11 @@ def _admit_group_fn(budget: int, window_ms: int, default_delay_ms: int):
         )
         delay = pdf["crawl_delay_ms"].iloc[0]
         delay = int(delay) if pd.notna(delay) else default_delay_ms
+        # window stride = max(window_ms, budget*delay): slow hosts advance
+        # windows by a full budget*delay so window N's last slot never
+        # collides with window N+1's first (ADVICE r03; same formula as the
+        # batch politeness_rank and the simulator oracle)
+        stride = max(window_ms, budget * delay)
         rows = []
         for _, r in pdf.iterrows():
             if used >= budget:  # window exhausted: roll to the next
@@ -132,7 +150,7 @@ def _admit_group_fn(budget: int, window_ms: int, default_delay_ms: int):
             rows.append(
                 (
                     r["canonical_url"], r["host"], float(r["priority"]),
-                    int(widx), int(widx) * window_ms + used * delay,
+                    int(widx), int(widx) * stride + used * delay,
                 )
             )
             used += 1

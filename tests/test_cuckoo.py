@@ -234,3 +234,42 @@ def test_probe_does_not_mutate_candidate_schema(spark):
     probe_maybe_seen(cand, cuckoos, n_buckets=N_BUCKETS).collect()
     assert list(cand.columns) == before
     assert "__maybe" not in [f.name for f in cand.schema.fields]
+
+
+def test_stash_growth_at_low_load_doubles(spark):
+    """ADVICE r03: a rebuild triggered by stash overflow ALONE (load well
+    under the threshold) must come back at >= 2x m_rows — auto-sizing from
+    the key count would return the SAME size and the bucket could stash
+    again next round, rebuilding every round with no progress."""
+    from pyspark.sql import functions as F
+
+    from logcrawler_spark.plans.cuckoo import grow_overfull_buckets
+
+    seen = _keyed(spark, 0, 100)
+    m0 = 1 << 10  # 4096 slots for 100 keys: ~2.4% load
+    low = build_cuckoo_table(seen, n_buckets=1, m_rows=m0)
+    # fabricate a stash overflow at low load (the trigger, not the content,
+    # is what the growth policy keys on; the rebuild re-derives everything
+    # from the exact key set)
+    stashed = low.withColumn("stash", F.lit(b"\x01\x00"))
+    grown = grow_overfull_buckets(stashed, seen.select("url_hash"), n_buckets=1)
+    rows = grown.collect()
+    assert len(rows) == 1
+    assert rows[0]["m_rows"] >= 2 * m0, (
+        f"stash-only rebuild stayed at m_rows={rows[0]['m_rows']}"
+    )
+    assert len(rows[0]["stash"] or b"") == 0
+    got = {
+        r["canonical_url"]: r["__maybe"]
+        for r in probe_maybe_seen(seen, grown, n_buckets=1).collect()
+    }
+    assert all(got.values())
+
+
+def test_build_min_m_rows_by_bucket_floor(spark):
+    """The per-bucket floor is honored and rounded sizing still applies."""
+    seen = _keyed(spark, 0, 100)
+    t = build_cuckoo_table(
+        seen, n_buckets=1, min_m_rows_by_bucket={0: 1 << 12}
+    )
+    assert t.collect()[0]["m_rows"] == 1 << 12

@@ -352,3 +352,42 @@ def test_windowed_politeness_spillover_matches_simulator(spark):
 
     per_win = Counter((t[0], t[1], t[5] // wms) for t in got)
     assert max(per_win.values()) <= budget
+
+
+def test_windowed_politeness_slow_host_stride_no_collision(spark):
+    """ADVICE r03 (medium): with budget*crawl_delay > window_ms, windows
+    must advance by max(window_ms, budget*delay) per host or window N's
+    late slots collide with window N+1's early ones. Engine == simulator
+    exactly, AND the physical invariant holds: consecutive same-host slots
+    are always >= crawl_delay apart."""
+    budget, wpr, wms, delay = 2, 3, 1_000, 10_000
+    host = "slow.example.com"
+    seeds = spark.createDataFrame(
+        [(f"http://{host}/p{i}", 1.0) for i in range(8)],
+        "url string, priority double",
+    )
+    pages = spark.createDataFrame(
+        [], "url string, warc_ts long, html binary, text string, lang string"
+    )
+    robots = spark.createDataFrame(
+        [(host, "/never", False, delay)],
+        "host string, path_prefix string, allow boolean, crawl_delay_ms long",
+    )
+    st = run_crawl(
+        spark, pages, seeds, robots, rounds=1, budget=budget,
+        windows_per_round=wpr, window_ms=wms,
+    )
+    got = sorted(
+        (r["canonical_url"], r["host_rank"], r["slot_ms"])
+        for r in st.schedule.collect()
+    )
+    sim = simulate_crawl(
+        pages.toPandas(), seeds.toPandas(), robots.toPandas(), 1, budget,
+        windows_per_round=wpr, window_ms=wms,
+    )
+    want = sorted((t[3], t[4], t[5]) for t in sim.schedule)
+    assert got == want
+    slots = sorted(t[2] for t in got)
+    assert len(slots) == budget * wpr  # all three windows filled
+    diffs = [b - a for a, b in zip(slots, slots[1:])]
+    assert min(diffs) >= delay, f"same-host fetches closer than crawl_delay: {slots}"

@@ -125,3 +125,42 @@ def test_stream_feed_dedups_filters_and_paces(spark, tmp_path):
 
     per_win = Counter((r["host"], r["window_idx"]) for r in rows)
     assert max(per_win.values()) <= 2
+
+
+def test_stream_slow_host_window_stride(spark, tmp_path):
+    """ADVICE r03 stride fix, streaming twin: with budget*delay > window_ms
+    the per-host window stride is budget*delay, so rolled-over slots never
+    collide with (or precede) later windows' slots."""
+    src = str(tmp_path / "slow_arrivals")
+    rows = [(f"http://s.org/p{i}", 1.0 - i / 100) for i in range(5)]
+    spark.createDataFrame(rows, "url string, priority double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(src, "b0"))
+    robots = spark.createDataFrame(
+        [("s.org", "/never", False, 10_000)],
+        "host string, path_prefix string, allow boolean, crawl_delay_ms int",
+    )
+    stream = (
+        spark.readStream.schema("url string, priority double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    out = stream_frontier_feed(stream, robots, budget=2, window_ms=1_000)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("slow_feed")
+        .option("checkpointLocation", str(tmp_path / "slow_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM slow_feed").collect()
+    slots = sorted(r["slot_ms"] for r in got)
+    assert len(slots) == 5
+    # stride = max(1000, 2*10000) = 20000: windows at 0/20000/40000
+    assert slots == [0, 10_000, 20_000, 30_000, 40_000]
+    diffs = [b - a for a, b in zip(slots, slots[1:])]
+    assert min(diffs) >= 10_000

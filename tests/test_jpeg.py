@@ -146,3 +146,36 @@ def test_container_dispatcher_routes_by_magic():
     assert np.abs(out_jpg.astype(int) - img.astype(int)).mean() < 3.0
     with pytest.raises(ValueError, match="unrecognized image container"):
         real_image_decode(b"GIF89a....")
+
+
+def test_truncated_bytes_raise_valueerror_only():
+    """T3 malformed-payload policy (ADVICE r03): every truncation point of
+    a valid stream must surface as ValueError — never IndexError /
+    struct.error / KeyError — so payload-to-NULL wrappers that catch
+    ValueError do not crash the task."""
+    img = _smooth(24, 24, channels=3)
+    data = jpeg_encode(img, quality=80)
+    # cut inside markers, segment bodies, and the entropy-coded scan
+    cuts = {2, 3, 10, 21, len(data) // 4, len(data) // 2, len(data) - 3}
+    for cut in sorted(cuts):
+        try:
+            jpeg_decode(data[:cut])
+        except ValueError:
+            pass  # the contract
+        # any other exception type propagates and fails the test
+
+
+def test_corrupt_scan_bytes_raise_valueerror():
+    """Bit-flips in the entropy-coded scan decode to garbage or raise
+    ValueError — but never a non-ValueError crash."""
+    img = _smooth(16, 16)
+    data = bytearray(jpeg_encode(img, quality=70))
+    sos = bytes(data).find(b"\xff\xda")
+    assert sos > 0
+    for off in range(sos + 14, min(sos + 40, len(data) - 2)):
+        mut = bytearray(data)
+        mut[off] ^= 0x5A
+        try:
+            jpeg_decode(bytes(mut))
+        except ValueError:
+            pass

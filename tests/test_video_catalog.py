@@ -81,3 +81,45 @@ def test_ingest_is_idempotent_and_incremental(spark, tmp_path):
     assert by_path["2024-04-23_T1/videos/a_b_c_d_e_f_g_new.mp4"][
         "video_type"
     ] == "new"
+
+
+def test_layout_gate_second_segment_and_root(spark, tmp_path):
+    """ADVICE r03: only <game_folder>/videos/<file> rows qualify — a
+    'videos' segment at any other depth is excluded, as is a file whose
+    path never had the scan root as a prefix (bogus game_folder)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "logs")
+    _mk_tree(root)
+    extra = {
+        # deeper nesting: videos not at segment 2
+        "2024-04-22_RC24/extra/videos/a_b_c_d_e_f_g_zzdeep.mp4": b"d",
+        # videos as the FIRST segment (no game folder)
+        "videos/a_b_c_d_e_f_g_zztop.mp4": b"t",
+        # file directly under videos/<dir>/: 4 segments
+        "2024-04-22_RC24/videos/sub/a_b_c_d_e_f_g_zzsub.mp4": b"s",
+    }
+    for rel, content in extra.items():
+        p = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(content)
+    rows = parse_video_catalog(scan_video_files(spark, root), root).collect()
+    paths = {r["video_path"] for r in rows}
+    assert not any(
+        "zzdeep" in p or "zztop" in p or "zzsub" in p for p in paths
+    )
+    assert len(paths) == 3  # the three conforming originals
+
+    # out-of-root absolute path with a /videos/ segment: bogus game_folder
+    out = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "path": [f"file:/elsewhere/gameX/videos/a_b_c_d_e_f_g_h.mp4"],
+                "length": [1],
+                "modificationTime": [pd.Timestamp("2024-01-01").to_pydatetime()],
+            }
+        )
+    )
+    assert parse_video_catalog(out, root).count() == 0
