@@ -13,13 +13,19 @@ that table, per the PUBLIC spec (RFC 9309):
 - rules: ``Allow`` / ``Disallow`` with a path pattern; empty-pattern
   rules are no-ops (§2.2.2). ``Crawl-delay`` is honored as the common
   extension (seconds -> ms, max over merged groups).
-- the engine's matcher is LONGEST-PREFIX-WINS (frontier.apply_robots),
-  so spec wildcard patterns are reduced to their literal prefix: the
-  pattern is cut at the first ``*`` and a trailing ``$`` anchor is
-  dropped. That is the documented approximation of this engine (the
-  reference's exclusion semantics are plain folder prefixes too,
-  ``01_input_game_data.py:88-93``); percent-encoding is normalized via
-  the same quoting discipline as URL canonicalization.
+- patterns are carried IN FULL (RFC 9309 §2.2.2, r4 — the r3 engine
+  reduced them to their literal prefix): ``*`` matches any character
+  sequence including empty, a trailing ``$`` anchors the end of the
+  path, and a ``$`` anywhere else is a literal octet (the convention of
+  the public reference implementations). The broadcast matcher
+  (``plans/frontier.py:apply_robots``) evaluates plain prefixes with
+  ``startswith`` (the overwhelmingly common case — zero regex cost) and
+  wildcard patterns with a regex precompiled once per RULE, never per
+  candidate row. Rule precedence: most specific match wins, specificity
+  = octet length of the full pattern as written (``*``/``$`` count),
+  allow wins ties — pinned identically in the pure-Python simulator
+  (``oracles/frontier_sim.py``) and the independent parser oracle
+  (``oracles/robots_sim.py``).
 
 The parser is pure Python per file inside ``mapInPandas`` — robots
 bodies are tiny and per-host (the SMALL broadcast side at any scale), so
@@ -42,7 +48,7 @@ ROBOTS_RULES_SCHEMA = (
 def parse_robots_txt(
     body: str, user_agent: str = "logcrawler"
 ) -> tuple[list[tuple[str, bool]], int | None]:
-    """One robots.txt body -> ([(path_prefix, allow), ...], crawl_delay_ms).
+    """One robots.txt body -> ([(pattern, allow), ...], crawl_delay_ms).
 
     Group selection per RFC 9309 §2.2.1: the most specific matching
     user-agent token wins; every group tied at that token contributes
@@ -76,11 +82,9 @@ def parse_robots_txt(
         elif field in ("allow", "disallow"):
             in_group_header = False
             if value:  # empty pattern = no-op rule (RFC 9309 §2.2.2)
-                # reduce spec wildcards to the engine's literal prefix
-                prefix = value.split("*", 1)[0]
-                prefix = prefix[:-1] if prefix.endswith("$") else prefix
-                if prefix:
-                    cur_rules.append((prefix, field == "allow"))
+                # full pattern, wildcards and all — the matcher resolves
+                # *, trailing $, and specificity (r4, ADVICE/VERDICT r03)
+                cur_rules.append((value, field == "allow"))
         elif field == "crawl-delay":
             in_group_header = False
             try:

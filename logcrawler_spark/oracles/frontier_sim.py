@@ -131,15 +131,41 @@ def simulate_crawl(
         rules.setdefault(r.host, []).append((r.path_prefix, bool(r.allow)))
         delays[r.host] = max(delays.get(r.host, 0), int(r.crawl_delay_ms))
 
+    # wildcard-aware rule matching (RFC 9309 §2.2.2, pinned identically in
+    # plans/frontier.py:apply_robots): * spans any octets, a trailing $
+    # anchors the end, $ elsewhere is literal; most specific match wins
+    # with specificity = octet length of the full pattern, allow on ties
+    pat_cache: dict[str, object] = {}
+
+    def _pat_rx(pattern: str):
+        if pattern not in pat_cache:
+            anchored = pattern.endswith("$")
+            core = pattern[:-1] if anchored else pattern
+            if "*" not in core and not anchored:
+                pat_cache[pattern] = None  # plain prefix
+            else:
+                pat_cache[pattern] = re.compile(
+                    "^"
+                    + ".*".join(re.escape(seg) for seg in core.split("*"))
+                    + ("$" if anchored else "")
+                )
+        return pat_cache[pattern]
+
     def allowed(host: str, path: str) -> bool:
-        # longest matching prefix wins; equal lengths -> allow wins
-        # (RFC 9309 convention, pinned identically in plans/frontier.py)
-        best = None
-        for prefix, allow in rules.get(host, []):
-            if path.startswith(prefix):
-                key = (len(prefix), allow)
-                if best is None or key > (len(best[0]), best[1]):
-                    best = (prefix, allow)
+        best = None  # (specificity, allow)
+        for pattern, allow in rules.get(host, []):
+            if not isinstance(pattern, str):
+                continue  # delay-only marker row (None/NaN pattern)
+            rx = _pat_rx(pattern)
+            hit = (
+                path.startswith(pattern)
+                if rx is None
+                else rx.match(path) is not None
+            )
+            if hit:
+                key = (len(pattern), allow)
+                if best is None or key > best:
+                    best = key
         return True if best is None else best[1]
 
     res = SimResult()

@@ -4,8 +4,9 @@ Different implementation shape on purpose: a two-pass tokenizer (lines ->
 (field, value) tuples, then an index-based group scanner) instead of the
 engine's single-pass state machine, so a shared parsing bug cannot hide.
 Semantics pinned to RFC 9309 identically: most-specific agent token wins,
-tied groups merge, ``*`` fallback, empty patterns are no-ops, wildcard
-patterns reduce to their literal prefix, Crawl-delay in seconds -> ms.
+tied groups merge, ``*`` fallback, empty patterns are no-ops, patterns
+carried IN FULL (``*`` wildcards and trailing ``$`` anchors included —
+the matcher resolves them), Crawl-delay in seconds -> ms.
 """
 
 from __future__ import annotations
@@ -66,11 +67,7 @@ def parse_robots_txt_py(body: str, user_agent: str = "logcrawler"):
         g_delay = None
         for f, v in rules:
             if f in ("allow", "disallow") and v:
-                p = v.split("*")[0]
-                if p.endswith("$"):
-                    p = p[:-1]
-                if p:
-                    out_rules.append((p, f == "allow"))
+                out_rules.append((v, f == "allow"))
             elif f == "crawl-delay":
                 try:
                     g_delay = int(float(v) * 1000)  # last in group wins

@@ -127,29 +127,79 @@ def _lww_dedup_pandas(pdf):
 
 def robots_per_host(robots: DataFrame) -> DataFrame:
     """One row per host: (host, __rules array, crawl_delay_ms max) — the
-    broadcast side of :func:`apply_robots`, loop-invariant across rounds."""
-    return robots.groupBy("host").agg(
+    broadcast side of :func:`apply_robots`, loop-invariant across rounds.
+
+    ``path_prefix`` is a full RFC 9309 pattern (``*`` spans any octets, a
+    trailing ``$`` anchors the end, ``$`` elsewhere is literal). Each rule
+    is compiled ONCE here, on the tiny rule table, into the struct the
+    matcher consumes per candidate:
+
+    - ``spec``      specificity = octet length of the pattern as written
+    - ``has_star``  pattern needs the regex path
+    - ``anchored``  trailing ``$`` (exact-match path when no ``*``)
+    - ``lit``       pattern minus the trailing anchor (prefix / exact lit)
+    - ``rx``        anchored Java regex (only consulted when has_star)
+
+    Plain prefixes — the overwhelmingly common case — never touch a regex:
+    the matcher resolves them with ``startswith`` on ``lit``.
+    """
+    p = F.col("path_prefix")
+    anchored = p.endswith("$")
+    core = F.when(
+        anchored, F.expr("substring(path_prefix, 1, length(path_prefix)-1)")
+    ).otherwise(p)
+    # escape every Java-regex metachar EXCEPT * (resolved to .* below)
+    esc = F.regexp_replace(core, r"([\\\.\[\]\{\}\(\)\+\?\^\$\|])", r"\\$1")
+    rx = F.concat(
+        F.lit("^"),
+        F.regexp_replace(esc, r"\*", ".*"),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+    compiled = robots.withColumns(
+        {
+            "__spec": F.length(p).cast("int"),
+            "__has_star": F.instr(p, "*") > 0,
+            "__anchored": anchored,
+            "__lit": core,
+            "__rx": rx,
+        }
+    )
+    return compiled.groupBy("host").agg(
         F.collect_list(
-            F.struct(F.col("path_prefix"), F.col("allow"))
+            F.struct(
+                F.col("path_prefix"),
+                F.col("allow"),
+                F.col("__spec").alias("spec"),
+                F.col("__has_star").alias("has_star"),
+                F.col("__anchored").alias("anchored"),
+                F.col("__lit").alias("lit"),
+                F.col("__rx").alias("rx"),
+            )
         ).alias("__rules"),
         F.max("crawl_delay_ms").alias("crawl_delay_ms"),
     )
 
 
 def apply_robots(cand: DataFrame, robots: DataFrame) -> DataFrame:
-    """Longest-prefix-wins robots filter — shuffle-free.
+    """Most-specific-match robots filter — shuffle-free, full RFC 9309.
 
-    A candidate is allowed iff no rule matches its path, or the longest
-    matching prefix rule has allow=true; among equal-length matching
-    prefixes, allow wins (RFC 9309 §2.2.2 convention — pinned identically
-    in the pure-Python simulator and exercised by a same-length
-    allow/disallow fixture pair). Also attaches the host's crawl_delay_ms
-    (max over rules, null if none).
+    A candidate is allowed iff no rule matches its path, or the most
+    specific matching rule has allow=true; specificity = octet length of
+    the pattern as written, allow wins ties (RFC 9309 §2.2.2 — pinned
+    identically in the pure-Python simulator and exercised by same-length
+    allow/disallow, mid-``*``, and ``$``-anchor fixtures). Also attaches
+    the host's crawl_delay_ms (max over rules, null if none).
+
+    Pattern evaluation per rule struct (compiled once per rule in
+    :func:`robots_per_host`): plain prefixes via ``startswith`` (no regex
+    anywhere near the hot path), ``$``-anchored literals via equality,
+    ``*`` patterns via ``regexp_like`` against the precompiled anchored
+    regex. A NULL pattern (delay-only marker row) never matches.
 
     Plan shape: the rule table is tiny (~hosts), so it is pre-aggregated to
-    one row per host (rule array + max delay) and broadcast; the longest
-    matching prefix is resolved per candidate with array expressions
-    (filter -> sort by prefix length desc -> head). The earlier window
+    one row per host (rule array + max delay) and broadcast; the most
+    specific matching rule is resolved per candidate with array expressions
+    (filter -> sort by specificity desc -> head). The earlier window
     formulation shuffled the full candidate set on canonical_url — at
     10^10 URLs that is the difference between a map-side stage and a
     terabyte shuffle. Accepts either raw rules or an already-aggregated
@@ -162,18 +212,25 @@ def apply_robots(cand: DataFrame, robots: DataFrame) -> DataFrame:
         else robots_per_host(robots)
     )
     j = cand.join(F.broadcast(per_host), on="host", how="left")
+    path = F.col("path")
     matches = F.filter(
         F.col("__rules"),
-        lambda r: F.col("path").startswith(r["path_prefix"]),
+        lambda r: F.when(
+            r["has_star"], F.regexp_like(path, r["rx"])
+        ).otherwise(
+            F.when(r["anchored"], path == r["lit"]).otherwise(
+                path.startswith(r["lit"])
+            )
+        ),
     )
-    # sort matched rules by (-prefix_len, !allow) so element 1 = longest
-    # prefix, allow-wins on length ties (struct sort: false < true)
+    # sort matched rules by (-specificity, !allow) so element 1 = most
+    # specific, allow-wins on specificity ties (struct sort: false < true)
     best = F.element_at(
         F.array_sort(
             F.transform(
                 matches,
                 lambda r: F.struct(
-                    (-F.length(r["path_prefix"])).alias("neg_len"),
+                    (-r["spec"]).alias("neg_spec"),
                     (~r["allow"]).alias("not_allow"),
                     r["allow"].alias("allow"),
                 ),

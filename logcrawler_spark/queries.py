@@ -72,6 +72,7 @@ _PRIORITY = [
     "q_corpus_curation",
     "q_surt_canonicalize",
     # crawl-adjacent operators
+    "q_robots_parse",
     "q_politeness_window",
     "q_event_window_agg",
     "q_asof_nearest",
@@ -87,7 +88,9 @@ _PRIORITY = [
     "q_merge_join_large",
     "q_left_lookup_sentinel",
     "q_composite_key_join",
-    "q_existence_gate",
+    # q_existence_gate moved past the window (r4): F1/F5 stay driver-
+    # stamped through q_count_gate's reconciliation family, freeing the
+    # slot for the RFC 9309 parser (VERDICT r03 item 2)
     "q_top_revenue_orders",
     "q_window_lag_fill",
     "q_parity_tag",

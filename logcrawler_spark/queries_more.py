@@ -702,10 +702,10 @@ def _robots_bodies(n_hosts: int = 40) -> list[tuple[str, str]]:
 def q_robots_parse(spark, sf_dir):
     """F2 front half: raw /robots.txt bodies -> the broadcast rule table
     (RFC 9309 — group selection by most-specific agent, * fallback,
-    wildcard-to-prefix reduction, Crawl-delay). Exact oracle: an
-    INDEPENDENT two-pass tokenizer parser (``oracles/robots_sim.py``)
-    over the same bodies materializes the expected rows as the DuckDB
-    fixture."""
+    full patterns carried verbatim incl. * wildcards and $ anchors,
+    Crawl-delay). Exact oracle: an INDEPENDENT two-pass tokenizer parser
+    (``oracles/robots_sim.py``) over the same bodies materializes the
+    expected rows as the DuckDB fixture."""
     import pandas as pd
 
     from logcrawler_spark.functions.robots import robots_rules_from_bodies
