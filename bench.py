@@ -10,9 +10,14 @@ full plan runs without driver materialization).
 Env knobs:
   SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local parallelism (default 32)
-  BENCH_EXPLODE        corpus amplification factor (default 8)
+  BENCH_EXPLODE        corpus amplification factor (default 64)
   BENCH_ROUNDS         crawl rounds (default 2)
-  BENCH_BUDGET         per-host budget (default 32)
+  BENCH_BUDGET         per-host budget (default 64)
+  BENCH_CRAWL_RUNS     crawl repetitions; the reported wall/throughput is
+                       the MEDIAN (default 3 — this host's single-run
+                       spread is ~±30%, VERDICT r03 item 7)
+  BENCH_PROBE_CONFIRM  probe confirm mode: inline|join|auto (default
+                       inline — same measurement definition as r03)
 """
 
 from __future__ import annotations
@@ -136,12 +141,21 @@ def main() -> None:
         use_bloom=True,
     )
 
-    t0 = time.monotonic()
-    state = run_crawl(
-        spark, pages, seeds, robots, rounds=rounds, budget=budget,
-        use_bloom=True,
-    )
-    crawl_s = time.monotonic() - t0
+    # median of BENCH_CRAWL_RUNS passes IN THE SAME PROCESS (corpus parquet
+    # cached, session warm): round-over-round driver deltas stop riding
+    # this host's ±30% single-run variance
+    n_runs = max(1, int(os.environ.get("BENCH_CRAWL_RUNS", "3")))
+    probe_confirm = os.environ.get("BENCH_PROBE_CONFIRM", "inline")
+    crawl_runs = []
+    state = None
+    for _ in range(n_runs):
+        t0 = time.monotonic()
+        state = run_crawl(
+            spark, pages, seeds, robots, rounds=rounds, budget=budget,
+            use_bloom=True, probe_confirm=probe_confirm,
+        )
+        crawl_runs.append(round(time.monotonic() - t0, 3))
+    crawl_s = sorted(crawl_runs)[len(crawl_runs) // 2]
     timings["crawl_pipeline"] = round(crawl_s, 3)
 
     m = state.metrics.groupBy().agg(
@@ -196,6 +210,8 @@ def main() -> None:
                 "explode_factor": explode,
                 "rounds": rounds,
                 "budget": budget,
+                "crawl_runs": crawl_runs,
+                "probe_confirm": probe_confirm,
                 "urls_processed": urls_processed,
                 "urls_scheduled": urls_scheduled,
                 "url_seen_size": state.url_seen.count(),

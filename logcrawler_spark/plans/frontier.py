@@ -308,6 +308,32 @@ def politeness_rank(
     )
 
 
+#: auto probe_confirm stays "inline" while |url_seen| <= FACTOR * |cands|;
+#: past that, bloom negatives stop shipping the bucket key sets through
+#: the probe shuffle + Arrow and the exact confirm becomes a selective
+#: anti-join ("join" mode). The crossover is coarse on purpose: both modes
+#: are oracle-exact, the factor only picks which cost shape to pay.
+_PROBE_SWITCH_FACTOR = 4
+
+
+def bucket_count_policy(
+    n_seen: int, target_keys_per_bucket: int = 1 << 20
+) -> int:
+    """ONE url_hash bucket count for |url_seen| keys — shared by the
+    membership-filter layout AND the catalog's url_seen storage bucketing
+    (VERDICT r03: previously filter=32 vs catalog=8, misaligned).
+
+    Power of two (the probe's signed pmod and the kernels' uint64 modulo
+    must agree), floored at 8 for parallelism, stepped so a bucket holds
+    <= ``target_keys_per_bucket`` keys after pow2 rounding: at 10^10 keys
+    the default yields 2^14 buckets ≈ 610k keys/bucket — the
+    inline-confirm sizing note — and the filter, the url_seen files, and
+    the probe shuffle all share it."""
+    need = max(1, -(-n_seen // target_keys_per_bucket))
+    n = 1 << (need - 1).bit_length()
+    return max(8, n)
+
+
 @dataclass
 class CrawlState:
     """Round-over-round state; every df is materialized (lineage cut).
@@ -316,6 +342,13 @@ class CrawlState:
     ``url_seen`` (invariant: no key in url_seen may test bloom-negative).
     It is maintained incrementally — each round ORs in only that round's
     newly-scheduled hashes.
+
+    ``n_seen`` / ``n_pending`` are driver-side row counts (parquet-footer
+    metadata off the already-materialized per-round tables, never a data
+    scan) feeding the scale-adaptive probe: the auto inline->join switch
+    and the bucket-count policy. ``filter_buckets`` is the bucket count the
+    CURRENT standing filter table was built with — the probe must use
+    exactly this count, and a policy step-up triggers a rebuild.
     """
 
     url_seen: DataFrame
@@ -324,6 +357,9 @@ class CrawlState:
     metrics: DataFrame | None = None
     round_no: int = 0
     blooms: DataFrame | None = None
+    n_seen: int = 0
+    n_pending: int | None = None
+    filter_buckets: int | None = None
 
 
 def _materialize(df: DataFrame) -> DataFrame:
@@ -372,7 +408,7 @@ def crawl_round(
     robots: DataFrame,
     budget: int,
     use_bloom: bool = True,
-    bloom_buckets: int = 32,
+    bloom_buckets: int | None = 32,
     failure_rate_pct: int = 0,
     max_fetch_attempts: int = 3,
     filter_kind: str = "bloom",
@@ -380,6 +416,7 @@ def crawl_round(
     windows_per_round: int = 1,
     window_ms: int = 60_000,
     probe_confirm: str = "inline",
+    bucket_target_keys: int = 1 << 20,
 ) -> CrawlState:
     """Advance one round. ``pages_c`` = pages with canonical_url attached.
 
@@ -393,7 +430,24 @@ def crawl_round(
     recrawl: a URL seen at round s becomes schedulable again at round
     s + ttl_rounds — its key is DELETED from the cuckoo filter when it
     ages out (Bloom cannot express this, so TTL requires cuckoo), and the
-    exact confirm runs against only the un-aged url_seen rows."""
+    exact confirm runs against only the un-aged url_seen rows.
+
+    Scale-adaptive knobs (VERDICT r03 item 1):
+
+    - ``probe_confirm="auto"`` picks the confirm shape per round from the
+      tracked counts: "inline" while |url_seen| <=
+      ``_PROBE_SWITCH_FACTOR`` x |pending candidates| (a growing crawl's
+      steady state — zero extra jobs), else "join" (a mature frontier,
+      where inline would ship the whole key set through the probe shuffle
+      + Arrow every round). Both modes are oracle-exact; the switch only
+      changes cost shape. The counts are parquet-footer metadata off the
+      previous round's materialized tables.
+    - ``bloom_buckets=None`` derives the bucket count from |url_seen| via
+      :func:`bucket_count_policy` (shared with the catalog's url_seen
+      storage bucketing in ``_commit_round``). When the policy steps up,
+      the standing filter is REBUILT from the exact key set at the new
+      count — the re-bucket path; the probe always uses exactly the count
+      the standing table was built with (``state.filter_buckets``)."""
     from pyspark.sql import Observation
 
     from logcrawler_spark.plans.cuckoo import (
@@ -414,6 +468,24 @@ def crawl_round(
 
     rnd = state.round_no + 1
     mark = _stage_clock()
+    # resolve this round's scale knobs BEFORE any plan is built
+    auto_scale = bloom_buckets is None or probe_confirm == "auto"
+    want_buckets = (
+        bucket_count_policy(state.n_seen, bucket_target_keys)
+        if bloom_buckets is None
+        else bloom_buckets
+    )
+    n_buckets = state.filter_buckets or want_buckets
+    if probe_confirm == "auto":
+        pend = state.n_pending
+        mode = (
+            "inline"
+            if pend is None
+            or state.n_seen <= _PROBE_SWITCH_FACTOR * max(pend, 1)
+            else "join"
+        )
+    else:
+        mode = probe_confirm
     # with TTL, rows seen at round <= rnd - ttl have aged out: they are
     # schedulable again, so the exact membership set excludes them (keys
     # re-seen later keep their newer row)
@@ -437,6 +509,13 @@ def crawl_round(
         # an EMPTY bloom table (every row definitely-new) so the fused path
         # applies from the start.
         standing = state.blooms
+        if standing is not None and n_buckets != want_buckets:
+            # bucket-count policy stepped up: the standing filter's layout
+            # (pmod at the old count) is invalid at the new one — rebuild
+            # from the exact key set below (the re-bucket/split path,
+            # amortized O(log |url_seen|) times over a crawl's life)
+            standing = None
+            n_buckets = want_buckets
         if standing is None and state.round_no > 0:
             # bootstrap BEFORE the probe (resume from a catalog lacking a
             # filter table — or, for cuckoo, one whose committed filter was
@@ -460,7 +539,7 @@ def crawl_round(
                 else build_bloom_table
             )
             standing = _materialize(
-                build(boot_src, n_buckets=bloom_buckets)
+                build(boot_src, n_buckets=n_buckets)
             )
         filter_in = standing
         if filter_in is None:  # round 1: nothing seen yet
@@ -476,7 +555,7 @@ def crawl_round(
             if filter_kind == "cuckoo"
             else filter_not_seen
         )
-        if probe_confirm == "inline":
+        if mode == "inline":
             # the exact confirm of filter positives happens INSIDE the
             # probe kernel against the bucket's url_seen keys (same
             # url_hash -> same bucket, colocated by the probe's one
@@ -496,7 +575,7 @@ def crawl_round(
                 filter_in,
                 hash_col="url_hash",
                 key_cols=["url_hash", "canonical_url"],
-                n_buckets=bloom_buckets,
+                n_buckets=n_buckets,
                 bucket_transform=_lww_dedup_pandas,
                 confirm="inline",
             )
@@ -520,7 +599,7 @@ def crawl_round(
                 filter_in,
                 hash_col="url_hash",
                 key_cols=["url_hash", "canonical_url"],
-                n_buckets=bloom_buckets,
+                n_buckets=n_buckets,
                 bucket_transform=_lww_dedup_pandas,
                 return_flagged=True,
             )
@@ -536,7 +615,7 @@ def crawl_round(
             None,
             hash_col="url_hash",
             key_cols=["url_hash", "canonical_url"],
-            n_buckets=bloom_buckets,
+            n_buckets=n_buckets,
         )
     allowed = apply_robots(unseen, robots)
     mark(f"r{rnd} plan-build")
@@ -551,7 +630,7 @@ def crawl_round(
     # (the sched materialize above, or the probe pin in "join" mode)
     n_raw = int(obs_cand.get["n_raw"])
     if use_bloom:
-        if probe_confirm == "inline":
+        if mode == "inline":
             n_cand = int(obs_probe.get["n_cand"])
         # "join" mode counted n_cand off the probe parquet footers already
     else:
@@ -650,10 +729,10 @@ def crawl_round(
                 aged = state.url_seen.filter(
                     F.col("first_seen_round") == rnd - ttl_rounds
                 ).select("url_hash")
-                upd = delete_keys(upd, aged, n_buckets=bloom_buckets)
+                upd = delete_keys(upd, aged, n_buckets=n_buckets)
             new_blooms = _materialize(
                 insert_keys(
-                    upd, sched.select("url_hash"), n_buckets=bloom_buckets
+                    upd, sched.select("url_hash"), n_buckets=n_buckets
                 )
             )
             # growth path: any bucket past ~90% load (or with stash
@@ -667,13 +746,13 @@ def crawl_round(
             )
             grown = grow_overfull_buckets(
                 new_blooms, exact.select("url_hash"),
-                n_buckets=bloom_buckets,
+                n_buckets=n_buckets,
             )
             if grown is not new_blooms:
                 new_blooms = _materialize(grown)
         else:
             delta = build_bloom_table(
-                sched.select("url_hash"), n_buckets=bloom_buckets
+                sched.select("url_hash"), n_buckets=n_buckets
             )
             # `filter_in` already covers url_seen (bootstrapped if needed).
             # The delta rides along LAZILY: the probe kernel ORs every
@@ -703,6 +782,8 @@ def crawl_round(
         .withColumn("bytes_extracted_total", F.lit(bytes_extracted))
         .withColumn("fetch_retries_total", F.lit(n_retries))
         .withColumn("fetch_failures_total", F.lit(n_failures))
+        .withColumn("probe_mode", F.lit(mode if use_bloom else "exact"))
+        .withColumn("filter_buckets", F.lit(n_buckets))
     )
     metrics = (
         round_metrics
@@ -714,6 +795,14 @@ def crawl_round(
         if state.schedule is None
         else state.schedule.unionByName(sched)
     )
+    # scale-tracking counts for the NEXT round's auto decisions — parquet-
+    # footer metadata off the two frames this round already materialized,
+    # and only paid when an auto knob is on (the fixed-mode job count per
+    # round is unchanged)
+    n_seen_next, n_pending_next = state.n_seen, state.n_pending
+    if auto_scale:
+        n_seen_next = state.n_seen + sched.count()
+        n_pending_next = next_cand.count()
     # schedule/metrics are OUTPUTS (nothing downstream in the loop reads
     # them) and they union per-round checkpointed frames — keeping them
     # lazy saves two materialization jobs per round
@@ -724,6 +813,9 @@ def crawl_round(
         metrics=metrics,
         round_no=rnd,
         blooms=new_blooms,
+        n_seen=n_seen_next,
+        n_pending=n_pending_next,
+        filter_buckets=n_buckets if use_bloom else None,
     )
 
 
@@ -737,7 +829,7 @@ def run_crawl(
     use_bloom: bool = True,
     catalog: Catalog | None = None,
     dedup_pages: bool = False,
-    bloom_buckets: int = 32,
+    bloom_buckets: int | None = 32,
     failure_rate_pct: int = 0,
     max_fetch_attempts: int = 3,
     filter_kind: str = "bloom",
@@ -745,6 +837,7 @@ def run_crawl(
     windows_per_round: int = 1,
     window_ms: int = 60_000,
     probe_confirm: str = "inline",
+    bucket_target_keys: int = 1 << 20,
 ) -> CrawlState:
     """Run ``rounds`` crawl rounds from the seed list.
 
@@ -778,6 +871,7 @@ def run_crawl(
             windows_per_round=windows_per_round,
             window_ms=window_ms,
             probe_confirm=probe_confirm,
+            bucket_target_keys=bucket_target_keys,
         )
         if catalog is not None:
             _commit_round(spark, catalog, state, filter_kind)
@@ -804,8 +898,13 @@ def _commit_round(
     counts are a sum over rounds."""
     rnd = state.round_no
     seen_delta = state.url_seen.filter(F.col("first_seen_round") == rnd)
+    # ONE bucket-count policy: the url_seen storage files cluster on the
+    # SAME pmod(url_hash) layout the membership filter probes, so a
+    # bucket's keys live in a bounded file set (VERDICT r03: previously
+    # filter=32 vs storage=8, misaligned)
+    nb = state.filter_buckets or 8
     catalog.append(
-        "url_seen", seen_delta, tag=rnd, n_buckets=8, bucket_col="url_hash"
+        "url_seen", seen_delta, tag=rnd, n_buckets=nb, bucket_col="url_hash"
     )
     catalog.append(
         "schedule", state.schedule.filter(F.col("round") == rnd), tag=rnd
@@ -830,11 +929,12 @@ def _commit_round(
         # (false negatives), so resume rebuilds instead (ADVICE r02).
         catalog.overwrite(
             f"url_seen_{filter_kind}",
-            state.blooms.withColumn("committed_round", F.lit(rnd)),
+            state.blooms.withColumn("committed_round", F.lit(rnd))
+            .withColumn("n_buckets", F.lit(state.filter_buckets)),
         )
     lineage = (
         seen_delta.groupBy(
-            F.pmod(F.col("url_hash"), F.lit(8)).alias("bucket")
+            F.pmod(F.col("url_hash"), F.lit(nb)).alias("bucket")
         )
         .agg(F.count("*").alias("n_new_keys"))
         .withColumn("round", F.lit(rnd))
@@ -855,7 +955,7 @@ def resume_crawl(
     total_rounds: int,
     budget: int = 8,
     use_bloom: bool = True,
-    bloom_buckets: int = 32,
+    bloom_buckets: int | None = 32,
     failure_rate_pct: int = 0,
     max_fetch_attempts: int = 3,
     filter_kind: str = "bloom",
@@ -863,6 +963,7 @@ def resume_crawl(
     windows_per_round: int = 1,
     window_ms: int = 60_000,
     probe_confirm: str = "inline",
+    bucket_target_keys: int = 1 << 20,
 ) -> CrawlState:
     """Resume from the catalog's last committed round and finish the crawl.
 
@@ -871,34 +972,67 @@ def resume_crawl(
     rows in the tables, which the filters below exclude (and which the
     idempotent tagged re-append then replaces). Parquet min/max stats prune
     the other rounds' files, so each filter is a metadata operation.
+
+    The committed filter table carries the bucket count it was built with;
+    the probe MUST run at exactly that count, so a table whose count
+    conflicts with an explicit ``bloom_buckets`` (or a legacy table without
+    the column under ``bloom_buckets=None``) is discarded and rebuilt from
+    the exact key set rather than probed at the wrong layout.
     """
     done = catalog.read("round_marker").collect()[0]["round"]
     pages_c = _with_canonical(pages)
     blooms = None
+    filter_buckets: int | None = None
     if catalog.exists(f"url_seen_{filter_kind}"):
         ftab = catalog.read(f"url_seen_{filter_kind}")
         if "committed_round" in ftab.columns:
-            frnd = ftab.agg(F.max("committed_round")).collect()[0][0]
+            head = ftab.select(
+                F.max("committed_round").alias("r"),
+                (
+                    F.max("n_buckets")
+                    if "n_buckets" in ftab.columns
+                    else F.lit(None).cast("int")
+                ).alias("nb"),
+            ).collect()[0]
+            frnd, tab_nb = head["r"], head["nb"]
             # bloom: a filter AHEAD of the marker is a superset of the
             # marker's url_seen — safe (positives exact-confirmed). cuckoo:
             # an ahead filter already applied the crashed round's TTL
             # deletes; reusing it would replay delete_keys and risk
             # evicting twin fingerprints (false negatives) — rebuild.
-            if filter_kind == "bloom" or frnd == done:
-                blooms = ftab.drop("committed_round")
-        elif filter_kind == "bloom":
+            round_ok = filter_kind == "bloom" or frnd == done
+            buckets_ok = (
+                tab_nb is not None
+                if bloom_buckets is None
+                else tab_nb is None or int(tab_nb) == bloom_buckets
+            )
+            if round_ok and buckets_ok:
+                blooms = ftab.drop("committed_round", "n_buckets")
+                filter_buckets = (
+                    int(tab_nb) if tab_nb is not None else bloom_buckets
+                )
+        elif filter_kind == "bloom" and bloom_buckets is not None:
             blooms = ftab  # legacy untagged table: superset-safe for bloom
-    state = CrawlState(
-        url_seen=catalog.read("url_seen").filter(
-            F.col("first_seen_round") <= done
-        ),
-        candidates=catalog.read("pending_candidates")
+            filter_buckets = bloom_buckets
+    url_seen = catalog.read("url_seen").filter(
+        F.col("first_seen_round") <= done
+    )
+    candidates = (
+        catalog.read("pending_candidates")
         .filter(F.col("for_round") == done)
-        .drop("for_round"),
+        .drop("for_round")
+    )
+    auto_scale = bloom_buckets is None or probe_confirm == "auto"
+    state = CrawlState(
+        url_seen=url_seen,
+        candidates=candidates,
         schedule=catalog.read("schedule").filter(F.col("round") <= done),
         metrics=catalog.read("metrics").filter(F.col("round") <= done),
         round_no=done,
         blooms=blooms,
+        n_seen=url_seen.count() if auto_scale else 0,
+        n_pending=candidates.count() if auto_scale else None,
+        filter_buckets=filter_buckets,
     )
     robots_ph = _materialize(robots_per_host(robots))
     for _ in range(total_rounds - done):
@@ -912,6 +1046,7 @@ def resume_crawl(
             windows_per_round=windows_per_round,
             window_ms=window_ms,
             probe_confirm=probe_confirm,
+            bucket_target_keys=bucket_target_keys,
         )
         _commit_round(spark, catalog, state, filter_kind)
     return state
