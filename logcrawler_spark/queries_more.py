@@ -731,3 +731,92 @@ def q_robots_parse(spark, sf_dir):
         )
     df = spark.createDataFrame(bodies, "host string, robots_txt string")
     return robots_rules_from_bodies(df, user_agent="logcrawler")
+
+
+def _av_clips(n_clips: int = 24) -> list[tuple[int, bytes]]:
+    """Deterministic WAV corpus: pure-integer sample synthesis as a
+    function of clip index (no float trig — bit-identical everywhere)."""
+    import numpy as np
+
+    from logcrawler_spark.operators.av_codec import wav_encode
+
+    out = []
+    for cid in range(n_clips):
+        n = 200 + 37 * cid
+        ch = 1 + cid % 3
+        bits = 8 if cid % 4 == 0 else 16
+        idx = np.arange(n * ch, dtype=np.int64)
+        if bits == 16:
+            s = ((idx * (2_654_435_761 + cid) % 20011) - 10_005).astype(
+                np.int16
+            ).reshape(n, ch)
+        else:
+            s = (idx * (40_503 + cid) % 251).astype(np.uint8).reshape(n, ch)
+        out.append(
+            (cid, wav_encode(s, 8000 * (1 + cid % 2), bits=bits))
+        )
+    # one structurally broken clip: the kernel's T3 policy must emit a
+    # NULL-stats row, identically in the oracle
+    out.append((99, b"RIFF\x10\x00\x00\x00WAVEjunk"))
+    return out
+
+
+@register("q_av_decode", fixture_sql("q_av_decode"))
+def q_av_decode(spark, sf_dir):
+    """X-family closer (VERDICT r03 item 5): WAV/RIFF PCM decode + exact
+    amplitude moments as a Spark kernel (``operators/av_codec.audio_stats``,
+    Arrow-batched mapInPandas). Exact oracle: the INDEPENDENT sequential
+    pure-Python parser (``oracles/av_sim.wav_decode_py``) recomputes the
+    moments from the same deterministic clip bytes — engine numpy slicing
+    vs oracle per-field struct reads."""
+    import pandas as pd
+
+    from logcrawler_spark.operators.av_codec import audio_stats
+    from logcrawler_spark.oracles import write_fixture
+    from logcrawler_spark.oracles.av_sim import wav_decode_py
+
+    clips = _av_clips()
+    if oracle_applies(sf_dir):
+        rows = []
+        for cid, payload in clips:
+            try:
+                rate, frames = wav_decode_py(payload)
+            except ValueError:
+                rows.append(
+                    (cid, None, None, None, None, None, None, None, None)
+                )
+                continue
+            flat = [v for fr in frames for v in fr]
+            n = len(flat)
+            sa = sum(flat)
+            sq = sum(v * v for v in flat)
+            pk = max((abs(v) for v in flat), default=0)
+            rows.append(
+                (
+                    cid, rate, len(frames[0]) if frames else 0, n, sa, sq,
+                    pk, sa / n if n else None,
+                    (sq / n) ** 0.5 if n else None,
+                )
+            )
+        write_fixture(
+            "q_av_decode",
+            sf_dir,
+            pd.DataFrame(
+                rows,
+                columns=[
+                    "clip_id", "rate_hz", "channels", "n_samples",
+                    "sum_amp", "sum_amp_sq", "peak", "mean_amp", "rms",
+                ],
+            ).astype(
+                {
+                    "rate_hz": "Int32", "channels": "Int32",
+                    "n_samples": "Int64", "sum_amp": "Int64",
+                    "sum_amp_sq": "Int64", "peak": "Int32",
+                }
+            ),
+        )
+    df = spark.createDataFrame(
+        [(cid, bytearray(p)) for cid, p in clips],
+        "clip_id long, payload binary",
+    )
+    return audio_stats(df)
