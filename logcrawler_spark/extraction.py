@@ -40,16 +40,25 @@ def extract_text(html: pd.Series) -> pd.Series:
 
     Contract: for the synthetic corpus (``sources.pages``), output is
     byte-identical to the ``text`` column the page was generated from.
+
+    Vectorized ``.str`` pipeline (VERDICT r03 item 6 — the module
+    contract, previously a per-row ``Series.map``): decode -> findall ->
+    join run as three pandas string-kernel passes over the whole Arrow
+    batch; nulls propagate as NaN through every step and reach Arrow as
+    SQL NULLs. Byte-identity vs the oracle is pinned by the existing
+    corpus-wide zero-mismatch test.
     """
-    s = html.map(lambda b: None if b is None else b.decode("utf-8", "replace"))
-    return s.map(lambda x: None if x is None else _WS.join(_P_RE.findall(x)))
+    return (
+        html.str.decode("utf-8", errors="replace")
+        .str.findall(_P_RE)
+        .str.join(_WS)
+    )
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def extract_links(html: pd.Series) -> pd.Series:
     """All raw href values, in document order (may be relative)."""
-    s = html.map(lambda b: None if b is None else b.decode("utf-8", "replace"))
-    return s.map(lambda x: None if x is None else _A_RE.findall(x))
+    return html.str.decode("utf-8", errors="replace").str.findall(_A_RE)
 
 
 def extract_outlinks(pages: DataFrame, url_col: str = "url") -> DataFrame:
