@@ -145,8 +145,9 @@ def main() -> None:
         "8 threads measures the hypervisor, not the engine, so the N->4N",
         "evidence uses local[2] -> local[8]; local[32] rows are kept for",
         "transparency. On a real multi-executor cluster the per-round",
-        "driver-orchestration floor (2 materializing jobs/round, constant)",
-        "additionally amortizes over much larger per-round batches.",
+        "driver-orchestration floor (1 materializing job/round in the",
+        "fused default + one final flush, constant) additionally amortizes",
+        "over much larger per-round batches.",
         "",
         "## Raw runs",
         "",

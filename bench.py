@@ -18,6 +18,10 @@ Env knobs:
                        spread is ~±30%, VERDICT r03 item 7)
   BENCH_PROBE_CONFIRM  probe confirm mode: inline|join|auto (default
                        inline — same measurement definition as r03)
+  BENCH_FUSE           1 (default) = fuse_fetch mode: round N's fetch
+                       executes inside round N+1's job (1 materializing
+                       job/round + final flush). Results identical to
+                       eager mode (tested); set 0 for the r03 plan shape.
 """
 
 from __future__ import annotations
@@ -146,13 +150,14 @@ def main() -> None:
     # this host's ±30% single-run variance
     n_runs = max(1, int(os.environ.get("BENCH_CRAWL_RUNS", "3")))
     probe_confirm = os.environ.get("BENCH_PROBE_CONFIRM", "inline")
+    fuse = bool(int(os.environ.get("BENCH_FUSE", "1")))
     crawl_runs = []
     state = None
     for _ in range(n_runs):
         t0 = time.monotonic()
         state = run_crawl(
             spark, pages, seeds, robots, rounds=rounds, budget=budget,
-            use_bloom=True, probe_confirm=probe_confirm,
+            use_bloom=True, probe_confirm=probe_confirm, fuse_fetch=fuse,
         )
         crawl_runs.append(round(time.monotonic() - t0, 3))
     crawl_s = sorted(crawl_runs)[len(crawl_runs) // 2]
@@ -212,6 +217,7 @@ def main() -> None:
                 "budget": budget,
                 "crawl_runs": crawl_runs,
                 "probe_confirm": probe_confirm,
+                "fuse_fetch": fuse,
                 "urls_processed": urls_processed,
                 "urls_scheduled": urls_scheduled,
                 "url_seen_size": state.url_seen.count(),

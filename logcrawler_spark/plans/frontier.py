@@ -360,6 +360,10 @@ class CrawlState:
     n_seen: int = 0
     n_pending: int | None = None
     filter_buckets: int | None = None
+    #: fuse_fetch mode: the deferred fetch of the latest round — its
+    #: observation handles + the already-known candidate counts, resolved
+    #: by the NEXT round's job (or by :func:`finalize_crawl`)
+    pending_fetch: dict | None = None
 
 
 def _materialize(df: DataFrame) -> DataFrame:
@@ -402,6 +406,52 @@ def _stage_clock():
     return mark
 
 
+def _round_metrics_df(
+    sched: DataFrame,
+    n_raw: int,
+    n_cand: int,
+    n_fetched: int,
+    bytes_extracted: int,
+    n_retries: int,
+    n_failures: int,
+    mode: str,
+    n_buckets: int,
+) -> DataFrame:
+    """One metrics row per (round, host) with the round totals as
+    literal columns — shared by the eager path and the fuse-mode deferred
+    resolution."""
+    return (
+        sched.groupBy("round", "host")
+        .agg(
+            F.count("*").alias("urls_scheduled"),
+            F.max("host_rank").alias("max_host_rank"),
+        )
+        .withColumn("urls_raw_total", F.lit(n_raw))
+        .withColumn("urls_candidates_total", F.lit(n_cand))
+        .withColumn("pages_fetched_total", F.lit(n_fetched))
+        .withColumn("bytes_extracted_total", F.lit(bytes_extracted))
+        .withColumn("fetch_retries_total", F.lit(n_retries))
+        .withColumn("fetch_failures_total", F.lit(n_failures))
+        .withColumn("probe_mode", F.lit(mode))
+        .withColumn("filter_buckets", F.lit(n_buckets))
+    )
+
+
+def _resolve_pending_metrics(pending: dict) -> DataFrame:
+    """Resolve a fused round's deferred fetch observation (the consuming
+    job has run by the time this is called) into its metrics rows."""
+    got = pending["obs"].get
+    n_retries = n_failures = 0
+    if pending["obs_att"] is not None:
+        att = pending["obs_att"].get
+        n_retries, n_failures = int(att["retries"]), int(att["failures"])
+    return _round_metrics_df(
+        pending["sched"], pending["n_raw"], pending["n_cand"],
+        int(got["n_fetched"]), int(got["bytes_extracted"]),
+        n_retries, n_failures, pending["mode"], pending["n_buckets"],
+    )
+
+
 def crawl_round(
     state: CrawlState,
     pages_c: DataFrame,
@@ -417,6 +467,7 @@ def crawl_round(
     window_ms: int = 60_000,
     probe_confirm: str = "inline",
     bucket_target_keys: int = 1 << 20,
+    fuse_fetch: bool = False,
 ) -> CrawlState:
     """Advance one round. ``pages_c`` = pages with canonical_url attached.
 
@@ -447,7 +498,20 @@ def crawl_round(
       storage bucketing in ``_commit_round``). When the policy steps up,
       the standing filter is REBUILT from the exact key set at the new
       count — the re-bucket path; the probe always uses exactly the count
-      the standing table was built with (``state.filter_buckets``)."""
+      the standing table was built with (``state.filter_buckets``).
+
+    ``fuse_fetch=True`` (VERDICT r03 item 4 — the job-overlap lever):
+    this round's fetch/extract/outlink pass is NOT materialized; the lazy
+    plan becomes the next round's candidate input, so round N's fetch
+    stages execute INSIDE round N+1's one sched job (lineage stays
+    bounded — the fused plan reads only the pages parquet and round N's
+    sched parquet). Per-round materializing jobs drop from 2 to 1, plus
+    one final flush (:func:`finalize_crawl`) for the last round's fetch.
+    Fetch metrics resolve one round late via the deferred Observation in
+    ``state.pending_fetch``. Incompatible with the auto scale knobs
+    (their candidate footer-count would trigger the deferred fetch) and
+    with per-round catalog commits (pending_candidates must be durable).
+    """
     from pyspark.sql import Observation
 
     from logcrawler_spark.plans.cuckoo import (
@@ -464,6 +528,12 @@ def crawl_round(
     if ttl_rounds is not None and filter_kind != "cuckoo":
         raise ValueError(
             "ttl_rounds requires filter_kind='cuckoo' (Bloom cannot delete)"
+        )
+    if fuse_fetch and (probe_confirm == "auto" or bloom_buckets is None):
+        raise ValueError(
+            "fuse_fetch is incompatible with probe_confirm='auto' /"
+            " bloom_buckets=None (auto counts would force the deferred"
+            " fetch to run early)"
         )
 
     rnd = state.round_no + 1
@@ -626,6 +696,14 @@ def crawl_round(
         ).withColumn("round", F.lit(rnd))
     )
     mark(f"r{rnd} probe+robots+politeness+sched-write")
+    # fuse_fetch: the job above just executed the PREVIOUS round's fused
+    # fetch plan (our candidate input), so its deferred observation is now
+    # resolved — collect that round's metrics here, one round late
+    prev_metrics = (
+        _resolve_pending_metrics(state.pending_fetch)
+        if state.pending_fetch is not None
+        else None
+    )
     # observations resolve after the first action over the candidate plan
     # (the sched materialize above, or the probe pin in "join" mode)
     n_raw = int(obs_cand.get["n_raw"])
@@ -688,24 +766,46 @@ def crawl_round(
         F.count(F.lit(1)).alias("n_fetched"),
         F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("bytes_extracted"),
     )
-    next_cand = _materialize(
-        enriched.select(
-            F.col("canonical_url").alias("src_url"),
-            F.col("priority").alias("__parent_priority"),
-            F.explode("hrefs").alias("href"),
-        ).select(
-            resolve_link(F.col("src_url"), F.col("href")).alias("url"),
-            (F.col("__parent_priority") * PRIORITY_DECAY).alias("priority"),
-        )
+    outlinks = enriched.select(
+        F.col("canonical_url").alias("src_url"),
+        F.col("priority").alias("__parent_priority"),
+        F.explode("hrefs").alias("href"),
+    ).select(
+        resolve_link(F.col("src_url"), F.col("href")).alias("url"),
+        (F.col("__parent_priority") * PRIORITY_DECAY).alias("priority"),
     )
-    mark(f"r{rnd} fetch+extract+outlinks-write")
-    got = obs.get
-    n_fetched = int(got["n_fetched"])
-    bytes_extracted = int(got["bytes_extracted"])
-    if failure_rate_pct > 0:
-        att_got = obs_att.get  # same job as obs — no extra pass
-        n_retries = int(att_got["retries"])
-        n_failures = int(att_got["failures"])
+    pending = None
+    round_metrics = None
+    if fuse_fetch:
+        # defer: the lazy outlink plan IS next round's candidate input —
+        # its stages run inside round rnd+1's sched job (or the finalize
+        # flush), and the observation resolves there
+        next_cand = outlinks
+        pending = {
+            "round": rnd,
+            "obs": obs,
+            "obs_att": obs_att if failure_rate_pct > 0 else None,
+            "sched": sched,
+            "n_raw": n_raw,
+            "n_cand": n_cand,
+            "mode": mode if use_bloom else "exact",
+            "n_buckets": n_buckets,
+        }
+        mark(f"r{rnd} outlinks-deferred")
+    else:
+        next_cand = _materialize(outlinks)
+        mark(f"r{rnd} fetch+extract+outlinks-write")
+        got = obs.get
+        n_fetched = int(got["n_fetched"])
+        bytes_extracted = int(got["bytes_extracted"])
+        if failure_rate_pct > 0:
+            att_got = obs_att.get  # same job as obs — no extra pass
+            n_retries = int(att_got["retries"])
+            n_failures = int(att_got["failures"])
+        round_metrics = _round_metrics_df(
+            sched, n_raw, n_cand, n_fetched, bytes_extracted,
+            n_retries, n_failures, mode if use_bloom else "exact", n_buckets,
+        )
 
     # url_seen is append-only: the round's delta rides the ALREADY
     # materialized sched parquet (a lazy projection), so the union is a
@@ -770,26 +870,12 @@ def crawl_round(
             else:
                 new_blooms = filter_in.unionByName(delta)
     mark(f"r{rnd} filter-maintenance")
-    round_metrics = (
-        sched.groupBy("round", "host")
-        .agg(
-            F.count("*").alias("urls_scheduled"),
-            F.max("host_rank").alias("max_host_rank"),
-        )
-        .withColumn("urls_raw_total", F.lit(n_raw))
-        .withColumn("urls_candidates_total", F.lit(n_cand))
-        .withColumn("pages_fetched_total", F.lit(n_fetched))
-        .withColumn("bytes_extracted_total", F.lit(bytes_extracted))
-        .withColumn("fetch_retries_total", F.lit(n_retries))
-        .withColumn("fetch_failures_total", F.lit(n_failures))
-        .withColumn("probe_mode", F.lit(mode if use_bloom else "exact"))
-        .withColumn("filter_buckets", F.lit(n_buckets))
-    )
-    metrics = (
-        round_metrics
-        if state.metrics is None
-        else state.metrics.unionByName(round_metrics)
-    )
+    metrics = state.metrics
+    for piece in (prev_metrics, round_metrics):
+        if piece is not None:
+            metrics = (
+                piece if metrics is None else metrics.unionByName(piece)
+            )
     schedule = (
         sched
         if state.schedule is None
@@ -816,6 +902,26 @@ def crawl_round(
         n_seen=n_seen_next,
         n_pending=n_pending_next,
         filter_buckets=n_buckets if use_bloom else None,
+        pending_fetch=pending,
+    )
+
+
+def finalize_crawl(state: CrawlState) -> CrawlState:
+    """Flush the LAST round's deferred fetch (fuse_fetch mode): one
+    materializing job runs the pending fetch/extract/outlink plan, its
+    observation resolves, and the metrics table completes. No-op when
+    nothing is pending."""
+    if state.pending_fetch is None:
+        return state
+    from dataclasses import replace
+
+    cand = _materialize(state.candidates)
+    rows = _resolve_pending_metrics(state.pending_fetch)
+    metrics = (
+        rows if state.metrics is None else state.metrics.unionByName(rows)
+    )
+    return replace(
+        state, candidates=cand, metrics=metrics, pending_fetch=None
     )
 
 
@@ -838,6 +944,7 @@ def run_crawl(
     window_ms: int = 60_000,
     probe_confirm: str = "inline",
     bucket_target_keys: int = 1 << 20,
+    fuse_fetch: bool = False,
 ) -> CrawlState:
     """Run ``rounds`` crawl rounds from the seed list.
 
@@ -850,6 +957,12 @@ def run_crawl(
     to enforce it at ingest (LWW on (warc_ts, url) — see
     :func:`dedup_pages_lww`) when the corpus may contain recrawls.
     """
+    if fuse_fetch and catalog is not None:
+        raise ValueError(
+            "fuse_fetch requires catalog=None: per-round commits need the"
+            " pending_candidates delta durable, which the deferred fetch"
+            " is not"
+        )
     pages_c = _with_canonical(pages)
     if dedup_pages:
         pages_c = dedup_pages_lww(pages_c)
@@ -872,10 +985,11 @@ def run_crawl(
             window_ms=window_ms,
             probe_confirm=probe_confirm,
             bucket_target_keys=bucket_target_keys,
+            fuse_fetch=fuse_fetch,
         )
         if catalog is not None:
             _commit_round(spark, catalog, state, filter_kind)
-    return state
+    return finalize_crawl(state)
 
 
 def _commit_round(

@@ -391,3 +391,84 @@ def test_windowed_politeness_slow_host_stride_no_collision(spark):
     assert len(slots) == budget * wpr  # all three windows filled
     diffs = [b - a for a, b in zip(slots, slots[1:])]
     assert min(diffs) >= delay, f"same-host fetches closer than crawl_delay: {slots}"
+
+
+def test_fuse_fetch_matches_eager_and_simulator(spark):
+    """fuse_fetch=True (1 materializing job/round + final flush) must be
+    indistinguishable in RESULTS from the eager mode: same schedule, same
+    url_seen, same metrics totals — and both equal the simulator."""
+    pages = generate_pages(spark, SF_SMOKE, n_hosts=N_HOSTS)
+    seeds = generate_seeds(spark, SF_SMOKE, n_hosts=N_HOSTS)
+    robots = generate_robots_rules(spark, n_hosts=N_HOSTS)
+
+    fused = run_crawl(
+        spark, pages, seeds, robots, rounds=3, budget=BUDGET,
+        fuse_fetch=True,
+    )
+    eager = run_crawl(
+        spark, pages, seeds, robots, rounds=3, budget=BUDGET,
+    )
+    key = lambda st: sorted(
+        (r["round"], r["host"], r["priority"], r["canonical_url"],
+         r["host_rank"], r["slot_ms"])
+        for r in st.schedule.collect()
+    )
+    assert key(fused) == key(eager)
+    assert fused.pending_fetch is None  # finalize flushed it
+    seen = lambda st: {r["canonical_url"] for r in st.url_seen.collect()}
+    assert seen(fused) == seen(eager)
+
+    mcols = [
+        "round", "urls_raw_total", "urls_candidates_total",
+        "pages_fetched_total", "bytes_extracted_total",
+    ]
+    mrows = lambda st: sorted(
+        set(tuple(r[c] for c in mcols) for r in st.metrics.collect())
+    )
+    assert mrows(fused) == mrows(eager)
+
+    sim = simulate_crawl(
+        pages.toPandas(), seeds.toPandas(), robots.toPandas(), 3, BUDGET
+    )
+    assert key(fused) == sorted(tuple(t) for t in sim.schedule)
+
+
+def test_fuse_fetch_with_failures_and_guards(spark):
+    """Deferred attempt-observations resolve correctly; incompatible knob
+    combinations are rejected loudly."""
+    import pytest as _pytest
+
+    pages = generate_pages(spark, SF_SMOKE, n_hosts=10)
+    seeds = generate_seeds(spark, SF_SMOKE, n_hosts=10)
+    robots = generate_robots_rules(spark, n_hosts=10)
+    fused = run_crawl(
+        spark, pages, seeds, robots, rounds=2, budget=3,
+        fuse_fetch=True, failure_rate_pct=20,
+    )
+    eager = run_crawl(
+        spark, pages, seeds, robots, rounds=2, budget=3,
+        failure_rate_pct=20,
+    )
+    tot = lambda st: sorted(
+        set(
+            (r["round"], r["pages_fetched_total"], r["fetch_retries_total"],
+             r["fetch_failures_total"])
+            for r in st.metrics.collect()
+        )
+    )
+    assert tot(fused) == tot(eager)
+
+    with _pytest.raises(ValueError, match="fuse_fetch"):
+        run_crawl(
+            spark, pages, seeds, robots, rounds=1, budget=3,
+            fuse_fetch=True, probe_confirm="auto",
+        )
+    from logcrawler_spark.catalog import Catalog
+    import tempfile
+
+    with _pytest.raises(ValueError, match="fuse_fetch"):
+        run_crawl(
+            spark, pages, seeds, robots, rounds=1, budget=3,
+            fuse_fetch=True,
+            catalog=Catalog(spark, tempfile.mkdtemp()),
+        )
