@@ -204,7 +204,10 @@ def generate_robots_rules(
     reference analog: folder exclusion rules ``01_input_game_data.py:88-93``);
     every 20th ALSO carries a same-length ``/d13`` allow rule — the
     equal-length tie case, where allow wins (RFC 9309 convention, pinned in
-    both the Spark filter and the pure-Python simulator).
+    both the Spark filter and the pure-Python simulator). Every 7th host
+    carries a WILDCARD rule ``/d2*/p4$`` (mid-pattern star + end anchor,
+    r4: the full-RFC matcher path exercised inside the driver-checked
+    flagship crawl, not just in the parser fixtures).
     """
     ranks = spark.range(1, n_hosts + 1).select(F.col("id").alias("rank"))
     tld = F.element_at(
@@ -234,4 +237,14 @@ def generate_robots_rules(
         F.lit(True).alias("allow"),
         F.lit(500).cast("long").alias("crawl_delay_ms"),
     )
-    return disallow.unionByName(reallow).unionByName(tie_allow)
+    wildcard = ranks.filter(F.pmod(F.col("rank"), F.lit(7)) == 0).select(
+        hostcol.alias("host"),
+        F.lit("/d2*/p4$").alias("path_prefix"),
+        F.lit(False).alias("allow"),
+        F.lit(500).cast("long").alias("crawl_delay_ms"),
+    )
+    return (
+        disallow.unionByName(reallow)
+        .unionByName(tie_allow)
+        .unionByName(wildcard)
+    )
