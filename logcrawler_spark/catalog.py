@@ -312,6 +312,56 @@ class Catalog:
         if len(entries) > compact_after:
             self.compact(table)
 
+    def rebucket(
+        self,
+        table: str,
+        n_buckets: int,
+        bucket_col: str,
+        up_to_tag: int | None = None,
+    ) -> None:
+        """Rewrite committed data dirs hash-clustered at ``n_buckets`` —
+        the STORAGE side of a bucket-count-policy step-up (r4): after the
+        membership filter re-buckets, the table's files migrate to the
+        same pmod layout so probe-side buckets keep a bounded file set.
+
+        All dirs with tag <= ``up_to_tag`` (default: the max committed
+        tag) plus untagged dirs consolidate into ONE dir carrying
+        ``up_to_tag``. Safe with the crawl's tagged-append idempotency:
+        resume only ever re-appends tags ABOVE the round marker, and the
+        tag filter (``e.tag < new_tag``) keeps the consolidated dir.
+        Trade (documented, the Iceberg snapshot-expiry analog):
+        ``read_at`` time travel below the consolidation tag is collapsed
+        — those per-round dirs no longer exist. Refuses merge-on-read
+        tables (their dirs are resolution inputs, not plain rows).
+        """
+        if self._read_meta(table) is not None:
+            raise ValueError(
+                f"rebucket({table!r}): merge-on-read tables resolve by dir"
+                " recency — use compact() first"
+            )
+        entries = self._read_manifest(table)
+        tags = [t for _n, t in entries if t is not None]
+        if up_to_tag is None:
+            up_to_tag = max(tags, default=None)
+        merge = [
+            (n, t)
+            for n, t in entries
+            if t is None or (up_to_tag is not None and t <= up_to_tag)
+        ]
+        if not merge:
+            return
+        keep = [e for e in entries if e not in merge]
+        tdir = self._table_dir(table)
+        df = self.spark.read.parquet(
+            *[os.path.join(tdir, n) for n, _t in merge]
+        )
+        df = df.repartition(
+            n_buckets, F.pmod(F.col(bucket_col), F.lit(n_buckets))
+        )
+        snap_name = self._write_data_dir(table, df)
+        # manifest swap is the commit point; old dirs become unreferenced
+        self._commit(table, [(snap_name, up_to_tag)] + keep)
+
     def compact(self, table: str) -> None:
         """Rewrite a merged table's resolved rows into one data dir; reads
         then skip merge-on-read resolution until the next merge."""

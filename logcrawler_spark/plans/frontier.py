@@ -973,6 +973,7 @@ def run_crawl(
         [], "url_hash long, canonical_url string, first_seen_round int"
     )
     state = CrawlState(url_seen=empty_seen, candidates=seeds)
+    prev_filter_buckets = None
     for _ in range(rounds):
         state = crawl_round(
             state, pages_c, robots_ph, budget, use_bloom,
@@ -988,8 +989,30 @@ def run_crawl(
             fuse_fetch=fuse_fetch,
         )
         if catalog is not None:
+            _maybe_rebucket(catalog, state, prev_filter_buckets)
             _commit_round(spark, catalog, state, filter_kind)
+        prev_filter_buckets = state.filter_buckets
     return finalize_crawl(state)
+
+
+def _maybe_rebucket(
+    catalog: Catalog, state: CrawlState, prev_buckets: int | None
+) -> None:
+    """When the bucket-count policy stepped up this round (the filter was
+    rebuilt at a new count), migrate the url_seen STORAGE layout to match
+    before committing the round's delta at the new count — probe buckets
+    and file clustering stay one layout (r4; read_at granularity below
+    the consolidation tag collapses, the snapshot-expiry trade)."""
+    if (
+        prev_buckets is not None
+        and state.filter_buckets is not None
+        and state.filter_buckets != prev_buckets
+        and catalog.exists("url_seen")
+    ):
+        catalog.rebucket(
+            "url_seen", state.filter_buckets, "url_hash",
+            up_to_tag=state.round_no - 1,
+        )
 
 
 def _commit_round(
@@ -1149,6 +1172,7 @@ def resume_crawl(
         filter_buckets=filter_buckets,
     )
     robots_ph = _materialize(robots_per_host(robots))
+    prev_filter_buckets = filter_buckets
     for _ in range(total_rounds - done):
         state = crawl_round(
             state, pages_c, robots_ph, budget, use_bloom,
@@ -1162,5 +1186,7 @@ def resume_crawl(
             probe_confirm=probe_confirm,
             bucket_target_keys=bucket_target_keys,
         )
+        _maybe_rebucket(catalog, state, prev_filter_buckets)
         _commit_round(spark, catalog, state, filter_kind)
+        prev_filter_buckets = state.filter_buckets
     return state

@@ -175,6 +175,25 @@ def test_catalog_commits_aligned_buckets_and_resume(spark, tmp_path):
     committed_nb = ftab.agg(F.max("n_buckets")).collect()[0][0]
     assert int(committed_nb) == st2.filter_buckets
 
+    # storage migrated with the policy: the round-1 dir (written at 8
+    # buckets) was consolidated and re-clustered at the stepped-up count
+    # before round 2's append — every current dir is clustered into at
+    # most filter_buckets files (hash partitioning may collide bucket
+    # values, so <=, same contract as catalog.append), and the round-1
+    # per-tag dir no longer exists separately (consolidation happened)
+    import glob
+    import os
+
+    dirs = cat.current_dirs("url_seen")
+    assert len(dirs) == 2  # consolidated(tag 1) + round-2 append
+    for d in dirs:
+        parts = glob.glob(os.path.join(d, "part-*"))
+        assert 0 < len(parts) <= st2.filter_buckets, (
+            f"dir {d} has {len(parts)} files, want <= {st2.filter_buckets}"
+        )
+    # and the rows survived the migration intact
+    assert cat.read("url_seen").count() == st2.url_seen.count()
+
     resumed = resume_crawl(
         spark, pages, robots, cat, total_rounds=4, **knobs
     )
