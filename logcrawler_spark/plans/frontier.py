@@ -85,8 +85,13 @@ def dedup_pages_lww(pages_c: DataFrame) -> DataFrame:
     )
 
 
-def canonicalize_candidates(df: DataFrame, url_col: str = "url") -> DataFrame:
-    """Attach canonical_url / host / path / url_hash key columns."""
+def canonicalize_candidates(
+    df: DataFrame, url_col: str = "url", extra_cols: list[str] | None = None
+) -> DataFrame:
+    """Attach canonical_url / host / path / url_hash key columns.
+
+    ``extra_cols``: pass-through columns kept alongside the keys (e.g. an
+    event-time column for the streaming watermark-TTL dedup)."""
     u = F.col(url_col)
     return df.select(
         canonicalize_url(u).alias("canonical_url"),
@@ -94,6 +99,7 @@ def canonicalize_candidates(df: DataFrame, url_col: str = "url") -> DataFrame:
         url_path(u).alias("path"),
         url_hash(u).alias("url_hash"),
         F.col("priority"),
+        *[F.col(c) for c in (extra_cols or [])],
     )
 
 

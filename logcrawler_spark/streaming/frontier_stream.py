@@ -188,12 +188,24 @@ def stream_frontier_feed(
     robots: DataFrame,
     budget: int = 8,
     window_ms: int = 60_000,
+    ts_col: str | None = None,
+    seen_ttl: str | None = None,
 ) -> DataFrame:
     """(url, priority) stream -> admitted fetch schedule stream.
 
     ``robots`` is a STATIC rule table (host, path_prefix, allow,
     crawl_delay_ms) — broadcast per micro-batch, the stream side never
     shuffles for it.
+
+    ``seen_ttl`` (e.g. ``"10 minutes"``, requires ``ts_col``): dedup via
+    ``dropDuplicatesWithinWatermark`` instead of forever-state
+    ``dropDuplicates`` — the STREAMING TWIN of the batch cuckoo TTL
+    recrawl (``run_crawl(ttl_rounds=...)``): a URL re-arriving within the
+    TTL of its first sighting is suppressed; once the watermark passes
+    its first sighting + TTL, the state evicts and the URL is admittable
+    again (and state is bounded by the dedup horizon instead of growing
+    for the query's life — the r3 unbounded-state caveat's fix for
+    recrawl-tolerant feeds).
     """
     from logcrawler_spark.plans.frontier import (
         apply_robots,
@@ -205,7 +217,11 @@ def stream_frontier_feed(
             "stream_frontier_feed requires a streaming DataFrame — the"
             " batch candidate path is plans.frontier.crawl_round"
         )
-    cand = canonicalize_candidates(raw)
+    if (seen_ttl is None) != (ts_col is None):
+        raise ValueError("seen_ttl and ts_col must be passed together")
+    cand = canonicalize_candidates(
+        raw, extra_cols=[ts_col] if ts_col else None
+    )
     # Structured Streaming permits ONE applyInPandasWithState per query, so
     # the composed feed spends it on the politeness admission (no built-in
     # equivalent exists) and dedups with the ENGINE-NATIVE streaming
@@ -213,7 +229,14 @@ def stream_frontier_feed(
     # the key exactly like the url_seen bucket layout (and RocksDB-backed
     # on a real cluster). streaming_candidate_dedup remains available as
     # the standalone custom-state twin for single-stateful-stage queries.
-    fresh = cand.dropDuplicates(["url_hash"])
+    if seen_ttl is not None:
+        fresh = (
+            cand.withWatermark(ts_col, seen_ttl)
+            .dropDuplicatesWithinWatermark(["url_hash"])
+            .drop(ts_col)
+        )
+    else:
+        fresh = cand.dropDuplicates(["url_hash"])
     allowed = apply_robots(fresh, robots)
     return streaming_politeness_admit(
         allowed, budget, window_ms=window_ms

@@ -164,3 +164,82 @@ def test_stream_slow_host_window_stride(spark, tmp_path):
     assert slots == [0, 10_000, 20_000, 30_000, 40_000]
     diffs = [b - a for a, b in zip(slots, slots[1:])]
     assert min(diffs) >= 10_000
+
+
+
+def test_stream_seen_ttl_readmits_after_watermark(spark, tmp_path):
+    """seen_ttl dedup (dropDuplicatesWithinWatermark): a dup within the
+    TTL is suppressed; once the watermark strictly passes the key's
+    expiry (empirically one watermark-advancing batch past first-sighting
+    + TTL), the url is admittable again — the streaming twin of the batch
+    cuckoo TTL recrawl, with state bounded by the dedup horizon."""
+    from datetime import datetime
+
+    src = str(tmp_path / "ttl_arrivals")
+    t = lambda m: datetime(2026, 8, 17, 10, m, 0)
+    batches = [
+        [("http://t.org/a", 0.9, t(0)), ("http://t.org/b", 0.8, t(0))],
+        # dup of /a one minute later: inside the 5-minute TTL -> dropped
+        [("http://t.org/a", 0.7, t(1)), ("http://t.org/c", 0.6, t(1))],
+        # two watermark-advancing batches push the watermark to 10:26,
+        # strictly past /a's expiry
+        [("http://t.org/d", 0.5, t(30))],
+        [("http://t.org/e", 0.45, t(31))],
+        # dup of /a after expiry -> re-admitted
+        [("http://t.org/a", 0.4, t(32))],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "url string, priority double, ts timestamp"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"b{i}")
+        )
+    robots = spark.createDataFrame(
+        [("t.org", "/never", False, 100)],
+        "host string, path_prefix string, allow boolean, crawl_delay_ms int",
+    )
+    stream = (
+        spark.readStream.schema("url string, priority double, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    out = stream_frontier_feed(
+        stream, robots, budget=4, window_ms=10_000,
+        ts_col="ts", seen_ttl="5 minutes",
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ttl_feed")
+        .option("checkpointLocation", str(tmp_path / "ttl_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM ttl_feed").collect()
+    urls = sorted(r["canonical_url"] for r in rows)
+    # /a admitted TWICE (initial + post-expiry), the in-TTL dup dropped
+    assert urls == [
+        "http://t.org/a", "http://t.org/a", "http://t.org/b",
+        "http://t.org/c", "http://t.org/d", "http://t.org/e",
+    ]
+    a_prios = sorted(
+        r["priority"] for r in rows if r["canonical_url"] == "http://t.org/a"
+    )
+    assert a_prios == [0.4, 0.9]  # first arrival kept, expiry re-admit kept
+
+
+def test_stream_seen_ttl_requires_ts_col(spark):
+    import pytest as _pytest
+
+    robots = spark.createDataFrame(
+        [], "host string, path_prefix string, allow boolean,"
+        " crawl_delay_ms int"
+    )
+    stream = spark.readStream.format("rate").load().selectExpr(
+        "cast(value as string) as url", "1.0 as priority"
+    )
+    with _pytest.raises(ValueError, match="together"):
+        stream_frontier_feed(stream, robots, seen_ttl="5 minutes")
