@@ -665,18 +665,21 @@ def q_text_stats(spark, sf_dir):
     from logcrawler_spark.functions.text import (
         bpe_ish_token_count,
         fingerprint,
-        quality_score,
-        token_count,
+        quality_score_from,
+        with_tokens,
     )
 
     d = _t(spark, sf_dir, "documents")
     t = F.col("text")
-    return d.filter(token_count(t) > 0).select(
+    # one regex split per row (with_tokens Generate barrier) instead of
+    # re-splitting inside each of token_count/quality_score
+    tk = F.col("toks")
+    return with_tokens(d).filter(F.size(tk) > 0).select(
         "doc_id",
-        token_count(t).alias("n_tokens"),
+        F.size(tk).alias("n_tokens"),
         bpe_ish_token_count(t).alias("n_bpe_ish"),
         fingerprint(t).alias("fp"),
-        quality_score(t).alias("quality"),
+        quality_score_from(tk, t).alias("quality"),
     )
 
 
@@ -830,9 +833,9 @@ def q_corpus_curation(spark, sf_dir):
     survives). One declarative plan — cheap filters prune before the
     expensive dedup stages."""
     from logcrawler_spark.functions.text import (
-        lang_id,
-        quality_score,
-        token_count,
+        lang_id_from,
+        quality_score_from,
+        with_tokens,
     )
     from logcrawler_spark.operators.dedup import (
         exact_dedup,
@@ -840,13 +843,18 @@ def q_corpus_curation(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
-    t = F.col("text")
-    scored = d.filter(token_count(t) > 0).select(
+    # tokenize ONCE per row behind the Generate barrier (with_tokens):
+    # the naive composition re-ran the regex split ~17x per row across
+    # lang_id + quality + counts — measured 5x slower (CLAUDE.md
+    # derived-column fan-out rule)
+    toked = with_tokens(d)
+    tk = F.col("toks")
+    scored = toked.filter(F.size(tk) > 0).select(
         "doc_id",
         "text",
-        lang_id(t).alias("lang_pred"),
-        quality_score(t).alias("quality"),
-        token_count(t).alias("n_tokens"),
+        lang_id_from(tk).alias("lang_pred"),
+        quality_score_from(tk, F.col("text")).alias("quality"),
+        F.size(tk).alias("n_tokens"),
     )
     kept = scored.filter(
         (F.col("lang_pred") == "en") & (F.col("quality") >= 0.3)
