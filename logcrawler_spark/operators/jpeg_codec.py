@@ -9,8 +9,10 @@ of the PUBLIC spec (ITU-T T.81 / ISO 10918-1, JFIF container):
   un-stuffing and restart-marker handling, dequantize + inverse zigzag,
   separable float64 IDCT, chroma upsampling for sampling factors 1 and 2
   (4:4:4 / 4:2:2 / 4:2:0), and the JFIF full-range YCbCr->RGB transform.
-  Progressive (SOF2) and arithmetic coding are rejected with clear
-  errors. The float64 IDCT path is fixed (one matrix, one evaluation
+  Progressive streams (SOF2) route to the REAL Annex G decoder in
+  :mod:`operators.jpeg_progressive` (r4 — spectral selection +
+  successive approximation); arithmetic coding and the remaining SOF
+  types are rejected with clear errors. The float64 IDCT path is fixed (one matrix, one evaluation
   order), so decode is deterministic across runs/platforms for a given
   numpy — and is verified against an independent per-coefficient
   pure-Python oracle decoder (``oracles/jpeg_sim.py``).
@@ -475,7 +477,13 @@ def _jpeg_decode_impl(data: bytes) -> np.ndarray:
                 if hi not in (1, 2) or vi not in (1, 2):
                     raise ValueError(f"sampling factor {hi}x{vi} unsupported")
                 comps.append((cid, hi, vi, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker == 0xC2:  # SOF2: progressive DCT (r4 — real decode)
+            from logcrawler_spark.operators.jpeg_progressive import (
+                decode_progressive,
+            )
+
+            return decode_progressive(data)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(
                 f"non-baseline JPEG (SOF marker 0xFF{marker:02X}: "
                 "progressive/arithmetic) not supported"

@@ -119,8 +119,14 @@ def test_rejects_non_baseline():
     img = _smooth(8, 8)
     blob = bytearray(jpeg_encode(img))
     sof = blob.index(b"\xff\xc0")
-    blob[sof + 1] = 0xC2  # pretend progressive
-    with pytest.raises(ValueError, match="progressive|non-baseline"):
+    blob[sof + 1] = 0xC3  # lossless: genuinely unsupported
+    with pytest.raises(ValueError, match="not supported"):
+        jpeg_decode(bytes(blob))
+    # SOF2 now routes to the REAL progressive decoder (r4); a baseline
+    # stream forged as progressive is structurally invalid there (its one
+    # full-band scan breaks the DC-scan Se=0 rule) and still fails loudly
+    blob[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se=0"):
         jpeg_decode(bytes(blob))
     with pytest.raises(ValueError, match="SOI"):
         jpeg_decode(b"\x00\x01\x02")
