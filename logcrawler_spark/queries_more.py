@@ -820,3 +820,78 @@ def q_av_decode(spark, sf_dir):
         "clip_id long, payload binary",
     )
     return audio_stats(df)
+
+
+def _av_clips_video(n_clips: int = 6):
+    """Deterministic MJPEG-in-AVI corpus: per-clip frame sequences of
+    smooth gradient images (quantization-friendly, any quality), built
+    with the in-repo encoders only."""
+    import numpy as np
+
+    from logcrawler_spark.operators.av_codec import avi_mjpeg_encode
+    from logcrawler_spark.operators.jpeg_codec import jpeg_encode
+
+    out = []
+    for cid in range(n_clips):
+        n_frames = 3 + cid % 3
+        w = h = 16
+        frames = []
+        for fi in range(n_frames):
+            y, x = np.mgrid[0:h, 0:w]
+            img = ((x * (3 + cid) + y * (5 + fi) + 7 * cid + 11 * fi) % 251
+                   ).astype(np.uint8)
+            frames.append(jpeg_encode(img, quality=85))
+        out.append((cid, avi_mjpeg_encode(frames, w, h, fps=10)))
+    out.append((99, b"RIFF\x08\x00\x00\x00AVI junk"))  # T3: dropped
+    return out
+
+
+@register("q_video_frames", fixture_sql("q_video_frames"))
+def q_video_frames(spark, sf_dir):
+    """X-family video content path (reference ``09_input_videos.py``'s
+    ffmpeg role): MJPEG-in-AVI split + per-sampled-frame exact luma
+    moments as a Spark kernel (``operators/av_codec.video_frame_stats``).
+    Exact oracle: the INDEPENDENT stack-walk AVI parser
+    (``oracles/av_sim.avi_frames_py``) + the INDEPENDENT per-coefficient
+    JPEG oracle decoder (``oracles/jpeg_sim.jpeg_decode_py``) recompute
+    every sampled frame's moments from the same deterministic clip bytes
+    — two parser implementations and two JPEG decoders, nothing shared
+    past the spec."""
+    import pandas as pd
+
+    from logcrawler_spark.operators.av_codec import video_frame_stats
+    from logcrawler_spark.oracles import write_fixture
+    from logcrawler_spark.oracles.av_sim import avi_frames_py
+    from logcrawler_spark.oracles.jpeg_sim import jpeg_decode_py
+
+    every_nth = 2
+    clips = _av_clips_video()
+    if oracle_applies(sf_dir):
+        rows = []
+        for cid, payload in clips:
+            try:
+                frames = avi_frames_py(payload)
+            except ValueError:
+                continue
+            for i in range(0, len(frames), every_nth):
+                pixels, fw, fh, ncomp = jpeg_decode_py(frames[i])
+                assert ncomp == 1  # grayscale clips
+                flat = [int(v) for row in pixels for v in row]
+                n = len(flat)
+                s = sum(flat)
+                rows.append((cid, i, fw, fh, n, s, s / n))
+        write_fixture(
+            "q_video_frames",
+            sf_dir,
+            pd.DataFrame(
+                rows,
+                columns=["clip_id", "frame_idx", "width", "height",
+                         "n_pix", "sum_y", "brightness"],
+            ).astype({"frame_idx": "int32", "width": "int32",
+                      "height": "int32"}),
+        )
+    df = spark.createDataFrame(
+        [(cid, bytearray(p)) for cid, p in clips],
+        "clip_id long, payload binary",
+    )
+    return video_frame_stats(df, every_nth=every_nth)
