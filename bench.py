@@ -22,6 +22,8 @@ Env knobs:
                        executes inside round N+1's job (1 materializing
                        job/round + final flush). Results identical to
                        eager mode (tested); set 0 for the r03 plan shape.
+                       Incompatible with BENCH_PROBE_CONFIRM=auto — the
+                       explicit probe knob wins and fuse turns off.
 """
 
 from __future__ import annotations
@@ -151,6 +153,10 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("BENCH_CRAWL_RUNS", "3")))
     probe_confirm = os.environ.get("BENCH_PROBE_CONFIRM", "inline")
     fuse = bool(int(os.environ.get("BENCH_FUSE", "1")))
+    if probe_confirm == "auto" and fuse:
+        # auto's candidate footer-count would trigger the deferred fetch;
+        # an explicit probe knob wins over the fuse default
+        fuse = False
     crawl_runs = []
     state = None
     for _ in range(n_runs):

@@ -32,7 +32,9 @@ class _Reader:
 
 
 def wav_decode_py(data: bytes):
-    """-> (rate_hz, [[frame ch samples...] ...]) as plain Python lists."""
+    """-> (rate_hz, n_channels, [[frame ch samples...] ...]) as plain
+    Python lists (channel count from the fmt chunk, so an empty data
+    chunk still reports the declared channels — engine parity)."""
     r = _Reader(data)
     if r.take(4) != b"RIFF":
         raise ValueError("no RIFF")
@@ -49,6 +51,8 @@ def wav_decode_py(data: bytes):
         if clen % 2 and r.pos < r.end:
             r.take(1)
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("fmt chunk too short")
             tag, ch, rate, _br, _bl, bits = struct.unpack("<HHIIHH", body[:16])
             fmt = (tag, ch, rate, bits)
         elif cid == b"data":
@@ -66,7 +70,7 @@ def wav_decode_py(data: bytes):
         for i in range(len(payload) - len(payload) % ch):
             vals.append(payload[i] - 128)
     frames = [vals[i : i + ch] for i in range(0, len(vals), ch)]
-    return rate, frames
+    return rate, ch, frames
 
 
 def avi_frames_py(data: bytes) -> list[bytes]:

@@ -1126,6 +1126,11 @@ def resume_crawl(
     pages_c = _with_canonical(pages)
     blooms = None
     filter_buckets: int | None = None
+    # layout provenance: the count url_seen's STORAGE files were last
+    # clustered at — pre-r4 catalogs hardcoded 8; r4+ commits record it
+    # on the filter table. Seeds _maybe_rebucket so a count change on
+    # resume still migrates the old dirs (review r4 finding #2).
+    storage_buckets = 8
     if catalog.exists(f"url_seen_{filter_kind}"):
         ftab = catalog.read(f"url_seen_{filter_kind}")
         if "committed_round" in ftab.columns:
@@ -1138,6 +1143,8 @@ def resume_crawl(
                 ).alias("nb"),
             ).collect()[0]
             frnd, tab_nb = head["r"], head["nb"]
+            if tab_nb is not None:
+                storage_buckets = int(tab_nb)
             # bloom: a filter AHEAD of the marker is a superset of the
             # marker's url_seen — safe (positives exact-confirmed). cuckoo:
             # an ahead filter already applied the crashed round's TTL
@@ -1166,11 +1173,18 @@ def resume_crawl(
         .drop("for_round")
     )
     auto_scale = bloom_buckets is None or probe_confirm == "auto"
+    metrics = catalog.read("metrics").filter(F.col("round") <= done)
+    # pre-r4 catalogs lack the probe_mode/filter_buckets metrics columns;
+    # pad with NULLs so the per-round unionByName keeps resolving
+    # (review r4 finding #1)
+    for col, typ in (("probe_mode", "string"), ("filter_buckets", "int")):
+        if col not in metrics.columns:
+            metrics = metrics.withColumn(col, F.lit(None).cast(typ))
     state = CrawlState(
         url_seen=url_seen,
         candidates=candidates,
         schedule=catalog.read("schedule").filter(F.col("round") <= done),
-        metrics=catalog.read("metrics").filter(F.col("round") <= done),
+        metrics=metrics,
         round_no=done,
         blooms=blooms,
         n_seen=url_seen.count() if auto_scale else 0,
@@ -1178,7 +1192,7 @@ def resume_crawl(
         filter_buckets=filter_buckets,
     )
     robots_ph = _materialize(robots_per_host(robots))
-    prev_filter_buckets = filter_buckets
+    prev_filter_buckets = filter_buckets or storage_buckets
     for _ in range(total_rounds - done):
         state = crawl_round(
             state, pages_c, robots_ph, budget, use_bloom,

@@ -755,6 +755,9 @@ def _av_clips(n_clips: int = 24) -> list[tuple[int, bytes]]:
         out.append(
             (cid, wav_encode(s, 8000 * (1 + cid % 2), bits=bits))
         )
+    # structurally valid fmt but EMPTY data chunk: channels must come
+    # from fmt (not from the absent frames), n_samples = 0
+    out.append((98, wav_encode(np.zeros((0, 2), dtype=np.int16), 22050)))
     # one structurally broken clip: the kernel's T3 policy must emit a
     # NULL-stats row, identically in the oracle
     out.append((99, b"RIFF\x10\x00\x00\x00WAVEjunk"))
@@ -778,9 +781,11 @@ def q_av_decode(spark, sf_dir):
     clips = _av_clips()
     if oracle_applies(sf_dir):
         rows = []
+        import math
+
         for cid, payload in clips:
             try:
-                rate, frames = wav_decode_py(payload)
+                rate, n_ch, frames = wav_decode_py(payload)
             except ValueError:
                 rows.append(
                     (cid, None, None, None, None, None, None, None, None)
@@ -793,9 +798,11 @@ def q_av_decode(spark, sf_dir):
             pk = max((abs(v) for v in flat), default=0)
             rows.append(
                 (
-                    cid, rate, len(frames[0]) if frames else 0, n, sa, sq,
+                    cid, rate, n_ch, n, sa, sq,
                     pk, sa / n if n else None,
-                    (sq / n) ** 0.5 if n else None,
+                    # sqrt, NOT **0.5: pow is not required to be correctly
+                    # rounded, sqrt is — both engines must use sqrt
+                    math.sqrt(sq / n) if n else None,
                 )
             )
         write_fixture(

@@ -38,8 +38,9 @@ def test_wav_roundtrip_matches_oracle(bits, ch):
         s = (_rng().integers(0, 256, size=(1000, ch))).astype(np.uint8)
     data = wav_encode(s, 44100, bits=bits)
     rate, got = wav_decode(data)
-    o_rate, o_frames = wav_decode_py(data)
+    o_rate, o_ch, o_frames = wav_decode_py(data)
     assert rate == o_rate == 44100
+    assert o_ch == ch
     assert got.shape == (1000, ch)
     assert got.tolist() == o_frames
     if bits == 16:
@@ -58,7 +59,7 @@ def test_wav_skips_unknown_chunks_and_word_aligns():
     data = data[:4] + (len(data) - 8).to_bytes(4, "little") + data[8:]
     rate, got = wav_decode(data)
     assert rate == 8000 and got.shape == (101, 1)
-    o_rate, o_frames = wav_decode_py(data)
+    o_rate, _o_ch, o_frames = wav_decode_py(data)
     assert got.tolist() == o_frames
 
 
