@@ -12,10 +12,12 @@ PNG implementation (ISO/IEC 15948 / RFC 2083 — public spec):
   given zlib (the container ships one zlib; both test engines call it).
 - :func:`png_decode` — chunk walk + IHDR/tEXt/IDAT parse, zlib inflate,
   and ALL five scanline filters (None/Sub/Up/Average/Paeth) so it reads
-  foreign baseline PNGs too, not just this encoder's output. Interlaced
-  (Adam7) files are rejected with a clear error (the reference never
-  writes them). Verified against an independent per-pixel pure-Python
-  oracle decoder (``oracles/png_sim.py``) on every filter type.
+  foreign baseline PNGs too, not just this encoder's output. Adam7
+  interlacing is fully supported (r4): each non-empty pass unfilters as
+  an independent sub-image and scatters on the pass grid, for both
+  decode and (filter-0) encode. Verified against an independent
+  per-pixel pure-Python oracle decoder (``oracles/png_sim.py``) on every
+  filter type, interlaced and sequential.
 - :func:`write_png_artifacts` — the S10 media sink as REAL files: an
   Arrow-batched ``mapInPandas`` kernel encodes each row's frame, writes
   ``<dir>/<name>.png``, and emits a manifest row (path, bytes, sha256,
@@ -41,6 +43,30 @@ _SIG = b"\x89PNG\r\n\x1a\n"
 # color type -> samples per pixel (8-bit depth only)
 _CHANNELS = {0: 1, 2: 3, 6: 4}
 
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass (RFC 2083
+#: §2.6 — the public interlace schedule). Passes whose sub-image is empty
+#: for the given dimensions contribute NO bytes (not even filter bytes).
+ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _adam7_dims(w: int, h: int):
+    """Per-pass (pass_w, pass_h, x0, y0, dx, dy), empty passes included
+    with zero dims."""
+    out = []
+    for x0, y0, dx, dy in ADAM7:
+        pw = max(0, -(-(w - x0) // dx)) if w > x0 else 0
+        ph = max(0, -(-(h - y0) // dy)) if h > y0 else 0
+        out.append((pw, ph, x0, y0, dx, dy))
+    return out
+
 
 def _chunk(tag: bytes, body: bytes) -> bytes:
     return (
@@ -51,11 +77,17 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def png_encode(img: np.ndarray, text_meta: dict[str, str] | None = None) -> bytes:
+def png_encode(
+    img: np.ndarray,
+    text_meta: dict[str, str] | None = None,
+    interlace: bool = False,
+) -> bytes:
     """(h, w) grayscale, (h, w, 3) RGB or (h, w, 4) RGBA uint8 -> PNG bytes.
 
     ``text_meta`` becomes one ``tEXt`` chunk per key (latin-1, the spec's
     charset), written in sorted-key order so the output is deterministic.
+    ``interlace=True`` writes Adam7 (r4): the IDAT stream is the 7 passes'
+    scanlines in schedule order, each with its own filter byte (type 0).
     """
     if img.dtype != np.uint8:
         raise ValueError(f"8-bit samples only, got {img.dtype}")
@@ -68,7 +100,7 @@ def png_encode(img: np.ndarray, text_meta: dict[str, str] | None = None) -> byte
     else:
         raise ValueError(f"unsupported image shape {img.shape}")
     h, w = img.shape[:2]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, int(interlace))
     out = [_SIG, _chunk(b"IHDR", ihdr)]
     for k in sorted(text_meta or {}):
         kb = k.encode("latin-1")
@@ -77,11 +109,25 @@ def png_encode(img: np.ndarray, text_meta: dict[str, str] | None = None) -> byte
         out.append(
             _chunk(b"tEXt", kb + b"\x00" + str(text_meta[k]).encode("latin-1"))
         )
-    # filter byte 0 (None) per scanline; raw = rows of w*channels samples
-    raw = np.empty((h, 1 + w * channels), dtype=np.uint8)
-    raw[:, 0] = 0
-    raw[:, 1:] = img.reshape(h, w * channels)
-    out.append(_chunk(b"IDAT", zlib.compress(raw.tobytes(), 6)))
+    img3 = img.reshape(h, w, channels)
+    if interlace:
+        parts = []
+        for pw, ph, x0, y0, dx, dy in _adam7_dims(w, h):
+            if pw == 0 or ph == 0:
+                continue  # empty pass: no bytes at all
+            sub = img3[y0::dy, x0::dx].reshape(ph, pw * channels)
+            raw = np.empty((ph, 1 + pw * channels), dtype=np.uint8)
+            raw[:, 0] = 0
+            raw[:, 1:] = sub
+            parts.append(raw.tobytes())
+        payload = b"".join(parts)
+    else:
+        # filter byte 0 (None) per scanline; rows of w*channels samples
+        raw = np.empty((h, 1 + w * channels), dtype=np.uint8)
+        raw[:, 0] = 0
+        raw[:, 1:] = img3.reshape(h, w * channels)
+        payload = raw.tobytes()
+    out.append(_chunk(b"IDAT", zlib.compress(payload, 6)))
     out.append(_chunk(b"IEND", b""))
     return b"".join(out)
 
@@ -133,12 +179,14 @@ def png_decode(data: bytes) -> tuple[np.ndarray, dict[str, str]]:
     """PNG bytes -> (image array, tEXt metadata dict).
 
     8-bit depth, color types 0 (gray, -> (h,w)), 2 (RGB) and 6 (RGBA,
-    -> (h,w,c)); CRCs verified; Adam7 interlace rejected.
+    -> (h,w,c)); CRCs verified; both interlace methods handled (Adam7
+    passes unfiltered independently and scattered — r4).
     """
     if data[:8] != _SIG:
         raise ValueError("not a PNG (bad signature)")
     pos, idat, meta = 8, [], {}
     w = h = channels = None
+    adam7 = False
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
@@ -158,8 +206,9 @@ def png_decode(data: bytes) -> tuple[np.ndarray, dict[str, str]]:
                     f"unsupported PNG (depth={depth}, color type={color}); "
                     "8-bit gray/RGB/RGBA only"
                 )
-            if interlace:
-                raise ValueError("Adam7-interlaced PNG not supported")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown interlace method {interlace}")
+            adam7 = bool(interlace)
             channels = _CHANNELS[color]
         elif tag == b"tEXt":
             k, _, v = body.partition(b"\x00")
@@ -171,6 +220,25 @@ def png_decode(data: bytes) -> tuple[np.ndarray, dict[str, str]]:
     if w is None or not idat:
         raise ValueError("truncated PNG (missing IHDR or IDAT)")
     raw = zlib.decompress(b"".join(idat))
+    if adam7:
+        # r4: real Adam7 — each non-empty pass is an independent filtered
+        # sub-image; unfilter it and scatter on the pass grid
+        out = np.zeros((h, w, channels), dtype=np.uint8)
+        pos2 = 0
+        for pw, ph, x0, y0, dx, dy in _adam7_dims(w, h):
+            if pw == 0 or ph == 0:
+                continue
+            n = ph * (1 + pw * channels)
+            chunk = raw[pos2 : pos2 + n]
+            if len(chunk) != n:
+                raise ValueError("PNG pixel data length mismatch")
+            pos2 += n
+            sub = _unfilter(chunk, pw, ph, channels)
+            out[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+        if pos2 != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+        img = out.reshape(h, w) if channels == 1 else out
+        return img, meta
     if len(raw) != h * (1 + w * channels):
         raise ValueError("PNG pixel data length mismatch")
     flat = _unfilter(raw, w, h, channels)

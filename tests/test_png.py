@@ -105,12 +105,20 @@ def test_decode_rejects_corruption_and_interlace():
     blob[40] ^= 0xFF  # flip a byte inside a chunk body
     with pytest.raises(ValueError, match="CRC"):
         png_decode(bytes(blob))
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)  # interlace=1
+    # interlace=1 is SUPPORTED since r4; an unknown method still rejects,
+    # and a truncated interlaced stream (IHDR but no IDAT) fails loudly
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 7)  # bogus method
     bad = (
         b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
     )
     with pytest.raises(ValueError, match="interlace"):
         png_decode(bad)
+    ihdr1 = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    trunc = (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr1) + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        png_decode(trunc)
     with pytest.raises(ValueError, match="8-bit samples"):
         png_encode(np.zeros((2, 2), dtype=np.int32))
     with pytest.raises(ValueError, match="shape"):
@@ -159,3 +167,99 @@ def test_spark_artifact_sink_roundtrip(spark, tmp_path):
         assert (r["width"], r["height"]) == (w, h)
         assert r["meta"] == {"frame": str(fn), "camera": "TOP"}
         assert r["sum_pix"] == int(rgb.astype(np.int64).sum())
+
+
+def test_adam7_interlaced_roundtrip_engine_and_oracle():
+    """r4: real Adam7 — encode interlaced, decode exact on engine AND the
+    independent per-pixel oracle, across gray/RGB/RGBA and tiny dims
+    (empty passes contribute no bytes)."""
+    import numpy as np
+
+    from logcrawler_spark.oracles.png_sim import png_decode_py
+
+    rng = np.random.default_rng(20260817)
+    for trial in range(12):
+        h, w = int(rng.integers(1, 33)), int(rng.integers(1, 33))
+        ch = [0, 3, 4][trial % 3]
+        shape = (h, w) if ch == 0 else (h, w, ch)
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        data = png_encode(img, {"m": str(trial)}, interlace=True)
+        dec, meta = png_decode(data)
+        assert meta == {"m": str(trial)}
+        assert np.array_equal(dec, img)
+        pix, ow, oh, och, _ = png_decode_py(data)
+        if ch == 0:
+            oarr = np.array(pix, dtype=np.uint8)
+        else:
+            oarr = np.array(
+                [[list(p) for p in row] for row in pix], dtype=np.uint8
+            )
+        assert np.array_equal(oarr, img)
+
+
+def test_adam7_foreign_filters_all_types():
+    """A foreign interlaced encoder may use ANY scanline filter per pass;
+    hand-build such a stream (filters cycle 0..4 per scanline within each
+    pass) and require both decoders to recover the exact pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from logcrawler_spark.operators.png_codec import (
+        ADAM7,
+        _adam7_dims,
+        _chunk,
+    )
+    from logcrawler_spark.oracles.png_sim import png_decode_py
+
+    def forward_filter(sub, ft, prev, bpp):
+        # literal RFC 2083 forward filters over one scanline
+        out = bytearray(len(sub))
+        for i in range(len(sub)):
+            a = sub[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[i] = (sub[i] - pred) & 0xFF
+        return out
+
+    rng = np.random.default_rng(7)
+    h, w, ch = 19, 27, 3
+    img = rng.integers(0, 256, (h, w, ch)).astype(np.uint8)
+    parts = []
+    ftc = 0
+    for pw, ph, x0, y0, dx, dy in _adam7_dims(w, h):
+        if pw == 0 or ph == 0:
+            continue
+        sub = img[y0::dy, x0::dx].reshape(ph, pw * ch)
+        prev = bytearray(pw * ch)
+        for r in range(ph):
+            ft = ftc % 5
+            ftc += 1
+            line = bytes(sub[r].tolist())
+            parts.append(bytes([ft]) + bytes(forward_filter(line, ft, prev, ch)))
+            prev = bytearray(line)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"".join(parts)))
+        + _chunk(b"IEND", b"")
+    )
+    dec, _ = png_decode(data)
+    assert np.array_equal(dec, img)
+    pix, *_ = png_decode_py(data)
+    oarr = np.array([[list(p) for p in row] for row in pix], dtype=np.uint8)
+    assert np.array_equal(oarr, img)
