@@ -379,3 +379,42 @@ def embedding_cosine_dup_pairs(
     return pairs.filter(F.col("cosine") >= threshold).select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination (r4, training-data-pipeline op): flag
+    corpus documents sharing >= ``min_hits`` distinct word ``n``-grams
+    with any benchmark/eval document — the standard 13-gram-overlap
+    filter used before pretraining so evaluation data cannot leak into
+    the training set.
+
+    Returns (id, n_contaminated_grams) for FLAGGED documents; callers
+    anti-join to drop them (see ``q_decontaminate``).
+
+    Scale shape: both sides explode to distinct (gram) rows; benchmark
+    gram sets are tiny (eval suites are small) so the equi-join on the
+    gram BROADCASTS the benchmark side and the corpus streams map-side —
+    no corpus shuffle. Counting distinct matched grams per doc is a
+    hash-agg on the (small) matched subset. At 100 TB the benchmark side
+    stays broadcastable (~10^6 grams); if it ever were not, the same
+    plan degrades to a shuffled equi-join, never an all-pairs compare.
+    """
+    cg = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), n)).alias("g"),
+    )
+    bg = benchmark.select(
+        F.explode(shingles(F.col(bench_text_col), n)).alias("g")
+    ).distinct()
+    hits = cg.join(F.broadcast(bg), on="g").groupBy("id").agg(
+        F.count("*").alias("n_contaminated_grams")
+    )
+    return hits.filter(F.col("n_contaminated_grams") >= min_hits)

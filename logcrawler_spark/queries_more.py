@@ -902,3 +902,85 @@ def q_video_frames(spark, sf_dir):
         "clip_id long, payload binary",
     )
     return video_frame_stats(df, every_nth=every_nth)
+
+
+@register(
+    "q_decontaminate",
+    """
+    WITH corpus_grams AS (
+      SELECT doc_id, unnest(list_distinct(grams)) AS g FROM (
+        SELECT doc_id,
+               [array_to_string(words[i : i + 12], ' ')
+                FOR i IN range(1, greatest(len(words) - 12, 1) + 1)] AS grams
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(text), '\\s+') AS words
+              FROM documents))),
+    bench_grams AS (
+      SELECT DISTINCT unnest(list_distinct(grams)) AS g FROM (
+        SELECT [array_to_string(words[i : i + 12], ' ')
+                FOR i IN range(1, greatest(len(words) - 12, 1) + 1)] AS grams
+        FROM (SELECT string_split_regex(trim(text), '\\s+') AS words
+              FROM documents WHERE doc_id % 97 = 0)))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_contaminated_grams
+    FROM corpus_grams JOIN bench_grams USING (g)
+    GROUP BY doc_id HAVING count(*) >= 1
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (13-gram overlap vs an eval set — the
+    standard pre-training leak filter). The synthetic eval set is every
+    97th document, so its own rows flag themselves plus any true 13-gram
+    duplicates. Broadcast benchmark grams; corpus streams map-side."""
+    from logcrawler_spark.operators.dedup import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return (
+        decontaminate(d, bench, n=13)
+        .select(F.col("id").alias("doc_id"), "n_contaminated_grams")
+    )
+
+
+@register("q_pagerank", fixture_sql("q_pagerank"))
+def q_pagerank(spark, sf_dir):
+    """Iterative link-graph PageRank over a deterministic synthetic
+    outlink graph (3 closed-form edges per non-dangling doc; every 11th
+    doc dangles). Exact-arithmetic formulation (int64 at 1e-12
+    resolution — every step integer add/mul/floor-div, order-free sums)
+    so the 5-iteration distributed result matches the pure-Python oracle
+    (``oracles/graph_sim.py``) BIT-EXACTLY — an iterative algorithm
+    under the full rows+schema+hash gate, not a rows-only check."""
+    import pandas as pd
+
+    from logcrawler_spark.operators.graph import pagerank_int
+    from logcrawler_spark.oracles import write_fixture
+    from logcrawler_spark.oracles.graph_sim import pagerank_int_py
+
+    n = 400
+    n_iter = 5
+
+    def edge_list():
+        out = []
+        for s in range(n):
+            if s % 11 == 0:
+                continue  # dangling
+            for a, b in ((7, 1), (13, 5), (29, 11)):
+                out.append((s, (s * a + b) % n))
+        return out
+
+    if oracle_applies(sf_dir):
+        ranks = pagerank_int_py(edge_list(), n, n_iter=n_iter)
+        write_fixture(
+            "q_pagerank",
+            sf_dir,
+            pd.DataFrame(
+                {
+                    "node": range(n),
+                    "rank_int": ranks,
+                    "rank": [r / 1e12 for r in ranks],
+                }
+            ).astype({"node": "int64", "rank_int": "int64"}),
+        )
+    edges = spark.createDataFrame(edge_list(), "src long, dst long")
+    return pagerank_int(edges, n, n_iter=n_iter)

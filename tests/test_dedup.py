@@ -104,3 +104,27 @@ def test_simhash_pairs_find_dups(spark):
     # every returned pair respects the threshold (banding is recall-only;
     # short texts flip many bits per word change, so near-dups may miss)
     assert all(h <= 16 for h in pairs.values())
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    """13-gram overlap with the benchmark set flags a doc; shorter
+    overlaps do not; counts are distinct-gram exact."""
+    from logcrawler_spark.operators.dedup import decontaminate
+
+    words = [f"w{i}" for i in range(30)]
+    bench_text = " ".join(words)
+    corpus = spark.createDataFrame(
+        [
+            (1, " ".join(words[:13]) + " zz"),        # 1 shared 13-gram
+            (2, " ".join(words[5:25])),               # 8 shared 13-grams
+            (3, " ".join(words[:12]) + " qq rr ss"),  # only 12 shared -> clean
+            (4, "totally unrelated text " * 10),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(0, bench_text)], "doc_id long, text string")
+    got = {
+        r["id"]: r["n_contaminated_grams"]
+        for r in decontaminate(corpus, bench, n=13).collect()
+    }
+    assert got == {1: 1, 2: 8}
