@@ -359,8 +359,38 @@ class Catalog:
             n_buckets, F.pmod(F.col(bucket_col), F.lit(n_buckets))
         )
         snap_name = self._write_data_dir(table, df)
-        # manifest swap is the commit point; old dirs become unreferenced
+        # manifest swap is the commit point; the merged dirs become
+        # unreferenced. They are NOT deleted here: lazy DataFrames handed
+        # out by earlier read()s (e.g. the resume path's url_seen frame)
+        # captured the old file listing and would hit FileNotFound mid-job.
+        # Reclaim is an explicit maintenance step — see :meth:`vacuum`
+        # (the Iceberg expire-snapshots retention analog, ADVICE r04).
         self._commit(table, [(snap_name, up_to_tag)] + keep)
+
+    def vacuum(self, table: str) -> list[str]:
+        """Delete data dirs no longer referenced by the table's manifest,
+        reclaiming the orphans left by :meth:`rebucket` / :meth:`compact` /
+        :meth:`overwrite` rewrites — repeated bucket-policy step-ups over a
+        long crawl would otherwise accumulate full stale copies of
+        url_seen on disk.
+
+        Run this as an explicit maintenance step once no reader of
+        pre-rewrite snapshots remains (snapshot-isolation retention: a lazy
+        DataFrame from an earlier ``read()`` still lists the old files).
+        Returns the deleted dir paths; best-effort per dir.
+        """
+        import shutil
+
+        tdir = self._table_dir(table)
+        if not os.path.isdir(tdir):
+            return []
+        referenced = {n for n, _t in self._read_manifest(table)}
+        deleted = []
+        for name in os.listdir(tdir):
+            if name.startswith("snap-") and name not in referenced:
+                shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
+                deleted.append(os.path.join(tdir, name))
+        return deleted
 
     def compact(self, table: str) -> None:
         """Rewrite a merged table's resolved rows into one data dir; reads

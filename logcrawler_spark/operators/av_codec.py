@@ -105,6 +105,11 @@ def _wav_decode_impl(data: bytes) -> tuple[int, np.ndarray]:
         raise ValueError(f"only PCM (tag 1) supported, got tag {tag}")
     if ch < 1:
         raise ValueError("channel count must be >= 1")
+    if rate < 1:
+        # downstream duration/resample math divides by the declared rate;
+        # a zero rate must fail the T3 ValueError-only contract, not
+        # ZeroDivisionError (ADVICE r04)
+        raise ValueError("sample rate must be >= 1")
     if bits == 16:
         arr = np.frombuffer(
             payload[: len(payload) // (2 * ch) * 2 * ch], dtype="<i2"

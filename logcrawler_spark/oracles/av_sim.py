@@ -60,7 +60,7 @@ def wav_decode_py(data: bytes):
     if fmt is None or payload is None:
         raise ValueError("missing fmt/data")
     tag, ch, rate, bits = fmt
-    if tag != 1 or bits not in (8, 16) or ch < 1:
+    if tag != 1 or bits not in (8, 16) or ch < 1 or rate < 1:
         raise ValueError("unsupported PCM layout")
     vals = []
     if bits == 16:

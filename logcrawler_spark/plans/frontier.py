@@ -1151,19 +1151,22 @@ def resume_crawl(
             # deletes; reusing it would replay delete_keys and risk
             # evicting twin fingerprints (false negatives) — rebuild.
             round_ok = filter_kind == "bloom" or frnd == done
-            buckets_ok = (
-                tab_nb is not None
-                if bloom_buckets is None
-                else tab_nb is None or int(tab_nb) == bloom_buckets
+            # count provenance is MANDATORY (ADVICE r04): a legacy table
+            # lacking n_buckets can have been built at any count, and
+            # probing it at a different pmod layout reads missing bucket
+            # rows as "no seen keys" — silent false negatives that
+            # reschedule seen URLs. A max-bucket-id sanity check cannot
+            # verify it either (an 8-bucket table's ids all fit under 32),
+            # so an unverifiable count is a count CONFLICT: discard and
+            # rebuild from the exact key set, same as a real mismatch.
+            buckets_ok = tab_nb is not None and (
+                bloom_buckets is None or int(tab_nb) == bloom_buckets
             )
             if round_ok and buckets_ok:
                 blooms = ftab.drop("committed_round", "n_buckets")
-                filter_buckets = (
-                    int(tab_nb) if tab_nb is not None else bloom_buckets
-                )
-        elif filter_kind == "bloom" and bloom_buckets is not None:
-            blooms = ftab  # legacy untagged table: superset-safe for bloom
-            filter_buckets = bloom_buckets
+                filter_buckets = int(tab_nb)
+        # tables with no committed_round at all (pre-tagging catalogs) are
+        # likewise count-unverifiable: fall through to the rebuild path
     url_seen = catalog.read("url_seen").filter(
         F.col("first_seen_round") <= done
     )

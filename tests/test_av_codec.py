@@ -75,6 +75,21 @@ def test_wav_malformed_raises_valueerror_only():
         wav_decode(b"RIFFxxxxWAVE")  # no chunks at all
 
 
+def test_wav_zero_sample_rate_raises_valueerror():
+    """A structurally valid fmt chunk declaring rate_hz=0 must fail the T3
+    ValueError-only contract in BOTH engines — downstream duration/resample
+    math divides by the declared rate (ADVICE r04)."""
+    data = bytearray(wav_encode(_tone(16, 1), 8000))
+    at = bytes(data).find(b"fmt ") + 8  # fmt body: tag(2) ch(2) rate(4)
+    data[at + 4 : at + 8] = (0).to_bytes(4, "little")
+    with pytest.raises(ValueError):
+        wav_decode(bytes(data))
+    with pytest.raises(ValueError):
+        wav_decode_py(bytes(data))
+    with pytest.raises(ValueError):
+        audio_frame_sample(bytes(data), 4000)
+
+
 def test_audio_frame_sample_nearest_index():
     s = np.arange(1000, dtype=np.int16)[:, None]
     data = wav_encode(s, 1000)

@@ -205,3 +205,36 @@ def test_read_at_rejects_merge_on_read_tables(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="merge-on-read"):
         cat.read_at("m", 1)
+
+
+def test_vacuum_reclaims_unreferenced_dirs_after_rebucket(spark, tmp_path):
+    """rebucket consolidates tagged dirs into one but leaves the old dirs
+    on disk (lazy readers may still list them); vacuum() is the explicit
+    expire-snapshots step that reclaims exactly the unreferenced ones
+    (ADVICE r04)."""
+    cat = Catalog(spark, str(tmp_path))
+    for rnd in (1, 2, 3):
+        cat.append(
+            "t",
+            spark.range(rnd * 10, rnd * 10 + 5).withColumn(
+                "url_hash", F.col("id") * 7
+            ),
+            tag=rnd,
+        )
+    before = {r["id"] for r in cat.read("t").collect()}
+    tdir = os.path.join(str(tmp_path), "t")
+    n_dirs_before = len([d for d in os.listdir(tdir) if d.startswith("snap-")])
+    cat.rebucket("t", 4, "url_hash")
+    # old dirs still on disk until vacuum
+    assert len(
+        [d for d in os.listdir(tdir) if d.startswith("snap-")]
+    ) == n_dirs_before + 1
+    deleted = cat.vacuum("t")
+    assert len(deleted) == n_dirs_before
+    left = [d for d in os.listdir(tdir) if d.startswith("snap-")]
+    assert len(left) == 1
+    # contents unchanged, manifest fully readable after reclaim
+    assert {r["id"] for r in cat.read("t").collect()} == before
+    # idempotent: nothing left to reclaim
+    assert cat.vacuum("t") == []
+    assert cat.vacuum("no_such_table") == []

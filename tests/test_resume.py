@@ -205,3 +205,54 @@ def test_resume_cuckoo_ttl_rejects_ahead_filter_and_rebuilds(spark, tmp_path):
         F.col("first_seen_round") > rounds - ttl
     ).count()
     assert n_items == expected
+
+
+def test_resume_discards_legacy_filter_without_bucket_count(spark, tmp_path):
+    """Pre-r4 catalogs committed the filter table WITHOUT the n_buckets
+    column. Its layout count is unverifiable — reusing it at a different
+    explicit bloom_buckets would probe the wrong pmod layout, and a missing
+    bucket row reads as 'no seen keys': silent false negatives that
+    reschedule seen URLs (ADVICE r04). Resume must treat the missing column
+    as a count conflict and rebuild from the exact key set."""
+    pages = generate_pages(spark, SF_SMOKE, n_hosts=N_HOSTS)
+    seeds = generate_seeds(spark, SF_SMOKE, n_hosts=N_HOSTS)
+    robots = generate_robots_rules(spark, n_hosts=N_HOSTS)
+
+    full = run_crawl(
+        spark, pages, seeds, robots, rounds=3, budget=BUDGET, bloom_buckets=8
+    )
+    cat = Catalog(spark, str(tmp_path))
+    run_crawl(
+        spark, pages, seeds, robots, rounds=2, budget=BUDGET,
+        bloom_buckets=32, catalog=cat,
+    )
+    # strip n_buckets to simulate the legacy table (built at 32)
+    legacy = cat.read("url_seen_bloom").drop("n_buckets")
+    import logcrawler_spark.utils as U
+
+    legacy = U.materialize(legacy)
+    cat.overwrite("url_seen_bloom", legacy)
+    # resume at bloom_buckets=8 — reusing the 32-bucket table here would
+    # probe pmod-8 buckets of a pmod-32 layout
+    resumed = resume_crawl(
+        spark, pages, robots, cat, total_rounds=3, budget=BUDGET,
+        bloom_buckets=8,
+    )
+    dups = (
+        resumed.schedule.groupBy("canonical_url").count()
+        .filter(F.col("count") > 1).count()
+    )
+    assert dups == 0
+    def sched_key(df):
+        return [
+            tuple(r)
+            for r in df.select(
+                "round", "host", "priority", "canonical_url", "host_rank",
+                "slot_ms",
+            )
+            .orderBy("round", "host", F.col("priority").desc(),
+                     "canonical_url")
+            .collect()
+        ]
+
+    assert sched_key(resumed.schedule) == sched_key(full.schedule)
