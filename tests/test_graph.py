@@ -38,3 +38,29 @@ def test_star_graph_concentrates_rank_and_conserves_mass(spark):
     assert abs(total - SCALE) < 3 * n * 8
     # leaves are symmetric -> identical ranks
     assert len({ranks[v] for v in range(1, n)}) == 1
+
+
+def test_lineage_is_cut_per_iteration_and_20_iters_bounded(spark):
+    """VERDICT r04 fix: the returned frame's plan must be a scan of the
+    LAST iteration's materialized table — no joins from any iteration in
+    its lineage (the collect()-per-iteration formulation re-executed the
+    whole history per action, O(n_iter^2)). n_iter=20 must stay bit-equal
+    to the oracle and complete in bounded time."""
+    import time
+
+    n = 97
+    edges = [(s, (s * 7 + 1) % n) for s in range(n) if s % 5] + [
+        (s, (s * 13 + 3) % n) for s in range(n) if s % 3
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    t0 = time.monotonic()
+    out = pagerank_int(df, n, n_iter=20)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan, plan  # lineage cut: scan + project only
+    got = {r["node"]: r["rank_int"] for r in out.collect()}
+    wall = time.monotonic() - t0
+    want = pagerank_int_py(edges, n, n_iter=20)
+    assert got == dict(enumerate(want))
+    # O(n_iter) loose wall guard: the quadratic formulation at 20 iters
+    # rebuilt ~210 iteration plans and blew far past this on this host
+    assert wall < 120, wall
