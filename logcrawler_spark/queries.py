@@ -53,11 +53,14 @@ _PRIORITY = [
     "q_warc_scan",
     "q_binlog_decode",
     "q_image_stats",
+    "q_av_decode",
     "q_tree_flatten",
     "q_map_ops",
     "q_metadata_counts",
     # LLM-training-data pipeline
     "q_dedup_exact",
+    "q_decontaminate",
+    "q_pagerank",
     "q_minhash_lsh_pairs",
     "q_ngram_jaccard_pairs",
     "q_simhash_pairs",
@@ -86,21 +89,25 @@ _PRIORITY = [
     "q_event_aggs",
     "q_broadcast_lookup",
     "q_merge_join_large",
-    "q_left_lookup_sentinel",
+    # q_left_lookup_sentinel rotated past the window (r5): J4's left join +
+    # sentinel coalesce stays driver-stamped via q_count_gate
     "q_composite_key_join",
     # q_existence_gate moved past the window (r4): F1/F5 stay driver-
     # stamped through q_count_gate's reconciliation family, freeing the
     # slot for the RFC 9309 parser (VERDICT r03 item 2)
     "q_top_revenue_orders",
     "q_window_lag_fill",
-    "q_parity_tag",
+    # q_parity_tag rotated out (r5): W2 parity row-numbering is driver-
+    # stamped inside q_binlog_scan's camera-parity column
     "q_topk_per_group",
     "q_set_ops",
     "q_scalar_pack",
     "q_json_extract",
     "q_moments_maxby",
     "q_count_gate",
-    "q_word_freq",
+    # q_word_freq rotated out (r5): C11 explode is driver-stamped via
+    # q_tree_flatten; the freed slots stamp the r4 operators
+    # (q_av_decode, q_decontaminate, q_pagerank) — VERDICT r04 item 3
     "q_geometry_bbox",
     "q_line_extract",
 ]

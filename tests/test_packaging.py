@@ -42,3 +42,18 @@ def test_build_zip_matches_source_tree(tmp_path):
     for name in packaged:
         with open(os.path.join(REPO, name), "rb") as f:
             assert f.read() == contents[name], name
+
+
+def test_implementation_map_query_names_are_registered():
+    """IMPLEMENTATION_MAP.md is the auditor-facing coverage document: every
+    q_* token it cites must be a registered query, so the map can never
+    again cite queries that were consolidated away (VERDICT r04: 11 stale
+    names survived the r2 pack consolidation)."""
+    import re
+
+    from logcrawler_spark.queries import QUERIES
+
+    with open(os.path.join(REPO, "IMPLEMENTATION_MAP.md")) as f:
+        cited = set(re.findall(r"\bq_[a-z0-9_]+\b", f.read()))
+    unknown = sorted(cited - set(QUERIES))
+    assert not unknown, f"IMPLEMENTATION_MAP.md cites unregistered: {unknown}"
