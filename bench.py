@@ -22,8 +22,14 @@ Env knobs:
                        executes inside round N+1's job (1 materializing
                        job/round + final flush). Results identical to
                        eager mode (tested); set 0 for the r03 plan shape.
-                       Incompatible with BENCH_PROBE_CONFIRM=auto — the
-                       explicit probe knob wins and fuse turns off.
+                       Composes with auto probe + durable commits (r5).
+  BENCH_DURABLE        1 = per-round durable catalog commits (snapshot
+                       manifest tables under a temp dir) — the resumable
+                       configuration's cost, composable with fuse/auto
+  BENCH_QUERY_RUNS     per-query repetitions; reported value is the
+                       MEDIAN with raw runs recorded (default 3 —
+                       VERDICT r04 item 8: single-run per-query deltas
+                       were indistinguishable from ±30% host noise)
 """
 
 from __future__ import annotations
@@ -153,17 +159,24 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("BENCH_CRAWL_RUNS", "3")))
     probe_confirm = os.environ.get("BENCH_PROBE_CONFIRM", "inline")
     fuse = bool(int(os.environ.get("BENCH_FUSE", "1")))
-    if probe_confirm == "auto" and fuse:
-        # auto's candidate footer-count would trigger the deferred fetch;
-        # an explicit probe knob wins over the fuse default
-        fuse = False
+    durable = bool(int(os.environ.get("BENCH_DURABLE", "0")))
     crawl_runs = []
     state = None
-    for _ in range(n_runs):
+    for i in range(n_runs):
+        catalog = None
+        if durable:
+            import tempfile
+
+            from logcrawler_spark.catalog import Catalog
+
+            catalog = Catalog(
+                spark, tempfile.mkdtemp(prefix=f"bench-cat-{i}-")
+            )
         t0 = time.monotonic()
         state = run_crawl(
             spark, pages, seeds, robots, rounds=rounds, budget=budget,
             use_bloom=True, probe_confirm=probe_confirm, fuse_fetch=fuse,
+            catalog=catalog,
         )
         crawl_runs.append(round(time.monotonic() - t0, 3))
     crawl_s = sorted(crawl_runs)[len(crawl_runs) // 2]
@@ -200,12 +213,18 @@ def main() -> None:
         "q_tree_flatten",
     ]
     queries = entry_mod.queries()
+    q_runs_n = max(1, int(os.environ.get("BENCH_QUERY_RUNS", "3")))
+    query_runs: dict[str, list[float]] = {}
     for name in query_names:
-        t0 = time.monotonic()
-        queries[name](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        runs = []
+        for _ in range(q_runs_n):
+            t0 = time.monotonic()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(round(time.monotonic() - t0, 3))
+        query_runs[name] = runs
+        timings[name] = sorted(runs)[len(runs) // 2]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -222,8 +241,10 @@ def main() -> None:
                 "rounds": rounds,
                 "budget": budget,
                 "crawl_runs": crawl_runs,
+                "query_runs": query_runs,
                 "probe_confirm": probe_confirm,
                 "fuse_fetch": fuse,
+                "durable": durable,
                 "urls_processed": urls_processed,
                 "urls_scheduled": urls_scheduled,
                 "url_seen_size": state.url_seen.count(),

@@ -265,6 +265,32 @@ class Catalog:
             entries = [e for e in entries if e[1] is None or e[1] < tag]
         self._commit(table, entries + [(snap_name, tag)])
 
+    def truncate_tags(self, table: str, from_tag: int) -> None:
+        """Drop manifest entries tagged >= ``from_tag`` without writing any
+        data — a pure manifest commit, zero Spark jobs.
+
+        Crash/mode-switch hygiene for tagged tables whose NEW commit point
+        writes no data dir (the fused crawl's pending-fetch marker
+        supersedes the eager pending_candidates rows and vice versa): the
+        idempotent-append path clears stale tags by appending, which needs
+        a frame to write; this clears them by manifest filter alone. No-op
+        when the table doesn't exist or nothing matches."""
+        entries = self._read_manifest(table)
+        keep = [e for e in entries if e[1] is None or e[1] < from_tag]
+        if entries and keep != entries:
+            self._commit(table, keep)
+
+    def expire_tags(self, table: str, before_tag: int) -> None:
+        """Drop manifest entries tagged < ``before_tag`` (untagged entries
+        kept) — the mirror of :meth:`truncate_tags`, for tables whose old
+        tags become stale by definition once a newer commit point lands
+        (the fused crawl's per-round pending marker). Manifest-only, zero
+        Spark jobs; no-op when nothing matches."""
+        entries = self._read_manifest(table)
+        keep = [e for e in entries if e[1] is None or e[1] >= before_tag]
+        if entries and keep != entries:
+            self._commit(table, keep)
+
     def merge_into(
         self,
         table: str,

@@ -370,6 +370,12 @@ class CrawlState:
     #: observation handles + the already-known candidate counts, resolved
     #: by the NEXT round's job (or by :func:`finalize_crawl`)
     pending_fetch: dict | None = None
+    #: the metrics rows ADDED by the latest round (eager: that round's own
+    #: rows; fused: the previous round's just-resolved rows; None when the
+    #: round resolved nothing) — what a durable commit appends at the
+    #: round's tag, so per-round metrics commits stay O(delta) in both
+    #: modes without re-filtering the whole union chain
+    metrics_delta: DataFrame | None = None
 
 
 def _materialize(df: DataFrame) -> DataFrame:
@@ -458,6 +464,81 @@ def _resolve_pending_metrics(pending: dict) -> DataFrame:
     )
 
 
+def _fetch_extract_plan(
+    pages_c: DataFrame,
+    sched: DataFrame,
+    rnd: int,
+    failure_rate_pct: int,
+    max_fetch_attempts: int,
+):
+    """Build the LAZY fetch + extract + outlink plan for one round's
+    schedule; returns ``(outlinks, obs, obs_att)``. Pure plan construction
+    (no action), shared by the in-loop round and the fused-resume rebuild —
+    a fused catalog commit persists only the (already durable) sched rows,
+    and this function is the documented recompute point: identical inputs
+    (pages, sched, failure knobs) rebuild the identical deferred plan.
+
+    Plan shape: the scheduled batch is bounded (hosts x budget), so IT
+    broadcasts and the (huge) pages side streams map-side with no shuffle —
+    the correct join direction at 10^10-page scale; text extraction and
+    link extraction run in the same Arrow batch; fetch metrics ride as
+    Observations (no second pass, and the extraction kernel cannot be
+    pruned because the metrics consume it)."""
+    from pyspark.sql import Observation
+
+    fetched = pages_c.join(
+        F.broadcast(sched.select("canonical_url", "priority")),
+        on="canonical_url",
+        how="inner",
+    )
+    # S6 retry/failover simulation (reference: dual-fileserver failover +
+    # raise_for_status, 13_calculate_image_stats.py:11-29,79-84): attempt a
+    # of a url transiently fails iff hash(url, a) lands under the failure
+    # rate; the first surviving attempt wins, bounded by max_fetch_attempts.
+    # Pure column expressions — deterministic, re-runnable, no Python.
+    obs_att = None
+    if failure_rate_pct > 0:
+        ok_attempts = F.filter(
+            F.sequence(F.lit(1), F.lit(max_fetch_attempts)),
+            lambda a: F.pmod(
+                F.xxhash64(F.col("canonical_url"), a), F.lit(100)
+            )
+            >= failure_rate_pct,
+        )
+        obs_att = Observation(f"attempts_{rnd}")
+        fetched = fetched.withColumn(
+            # try_: an empty array (all attempts failed) must yield NULL
+            "__first_ok", F.try_element_at(ok_attempts, F.lit(1))
+        ).observe(
+            obs_att,
+            F.coalesce(
+                F.sum(F.col("__first_ok") - 1), F.lit(0)
+            ).alias("retries"),
+            F.count_if(F.col("__first_ok").isNull()).alias("failures"),
+        )
+        fetched = fetched.filter(F.col("__first_ok").isNotNull())
+    obs = Observation(f"round_{rnd}")
+    enriched = fetched.select(
+        "canonical_url",
+        "priority",
+        extract_text(F.col("html")).alias("text"),
+        extract_links(F.col("html")).alias("hrefs"),
+    ).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_fetched"),
+        F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("bytes_extracted"),
+    )
+    outlinks = enriched.select(
+        F.col("canonical_url").alias("src_url"),
+        F.col("priority").alias("__parent_priority"),
+        F.explode("hrefs").alias("href"),
+    ).select(
+        resolve_link(F.col("src_url"), F.col("href")).alias("url"),
+        (F.col("__parent_priority") * PRIORITY_DECAY).alias("priority"),
+    )
+    return outlinks, obs, obs_att
+
+
 def crawl_round(
     state: CrawlState,
     pages_c: DataFrame,
@@ -514,9 +595,11 @@ def crawl_round(
     sched parquet). Per-round materializing jobs drop from 2 to 1, plus
     one final flush (:func:`finalize_crawl`) for the last round's fetch.
     Fetch metrics resolve one round late via the deferred Observation in
-    ``state.pending_fetch``. Incompatible with the auto scale knobs
-    (their candidate footer-count would trigger the deferred fetch) and
-    with per-round catalog commits (pending_candidates must be durable).
+    ``state.pending_fetch``. Composes with the auto scale knobs (r5: the
+    pending count uses this round's already-resolved raw-candidate count
+    as a one-round-stale proxy instead of counting the deferred plan) and
+    with per-round catalog commits (the commit persists the fetch's
+    bounded recompute point — see :func:`_commit_round`).
     """
     from pyspark.sql import Observation
 
@@ -534,12 +617,6 @@ def crawl_round(
     if ttl_rounds is not None and filter_kind != "cuckoo":
         raise ValueError(
             "ttl_rounds requires filter_kind='cuckoo' (Bloom cannot delete)"
-        )
-    if fuse_fetch and (probe_confirm == "auto" or bloom_buckets is None):
-        raise ValueError(
-            "fuse_fetch is incompatible with probe_confirm='auto' /"
-            " bloom_buckets=None (auto counts would force the deferred"
-            " fetch to run early)"
         )
 
     rnd = state.round_no + 1
@@ -720,65 +797,10 @@ def crawl_round(
     else:
         n_cand = int(obs_dedup.get["n_cand"])
 
-    # fetch + extract + expand in ONE pass over the corpus:
-    # - the scheduled batch is bounded (hosts x budget), so IT broadcasts
-    #   and the (huge) pages side streams map-side with no shuffle — the
-    #   correct join direction at 10^10-page scale;
-    # - text extraction and link extraction run in the same Arrow batch;
-    # - per-round fetch metrics come from df.observe() as a side effect of
-    #   the single materializing job (no second pass, and the extraction
-    #   kernel cannot be pruned because the metrics consume it).
-    from pyspark.sql import Observation
-
-    fetched = pages_c.join(
-        F.broadcast(sched.select("canonical_url", "priority")),
-        on="canonical_url",
-        how="inner",
-    )
-    # S6 retry/failover simulation (reference: dual-fileserver failover +
-    # raise_for_status, 13_calculate_image_stats.py:11-29,79-84): attempt a
-    # of a url transiently fails iff hash(url, a) lands under the failure
-    # rate; the first surviving attempt wins, bounded by max_fetch_attempts.
-    # Pure column expressions — deterministic, re-runnable, no Python.
-    n_retries = n_failures = 0
-    if failure_rate_pct > 0:
-        ok_attempts = F.filter(
-            F.sequence(F.lit(1), F.lit(max_fetch_attempts)),
-            lambda a: F.pmod(
-                F.xxhash64(F.col("canonical_url"), a), F.lit(100)
-            )
-            >= failure_rate_pct,
-        )
-        obs_att = Observation(f"attempts_{rnd}")
-        fetched = fetched.withColumn(
-            # try_: an empty array (all attempts failed) must yield NULL
-            "__first_ok", F.try_element_at(ok_attempts, F.lit(1))
-        ).observe(
-            obs_att,
-            F.coalesce(
-                F.sum(F.col("__first_ok") - 1), F.lit(0)
-            ).alias("retries"),
-            F.count_if(F.col("__first_ok").isNull()).alias("failures"),
-        )
-        fetched = fetched.filter(F.col("__first_ok").isNotNull())
-    obs = Observation(f"round_{rnd}")
-    enriched = fetched.select(
-        "canonical_url",
-        "priority",
-        extract_text(F.col("html")).alias("text"),
-        extract_links(F.col("html")).alias("hrefs"),
-    ).observe(
-        obs,
-        F.count(F.lit(1)).alias("n_fetched"),
-        F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("bytes_extracted"),
-    )
-    outlinks = enriched.select(
-        F.col("canonical_url").alias("src_url"),
-        F.col("priority").alias("__parent_priority"),
-        F.explode("hrefs").alias("href"),
-    ).select(
-        resolve_link(F.col("src_url"), F.col("href")).alias("url"),
-        (F.col("__parent_priority") * PRIORITY_DECAY).alias("priority"),
+    # fetch + extract + expand in ONE pass over the corpus — plan built by
+    # :func:`_fetch_extract_plan` (shared with the fused-resume rebuild)
+    outlinks, obs, obs_att = _fetch_extract_plan(
+        pages_c, sched, rnd, failure_rate_pct, max_fetch_attempts
     )
     pending = None
     round_metrics = None
@@ -790,7 +812,7 @@ def crawl_round(
         pending = {
             "round": rnd,
             "obs": obs,
-            "obs_att": obs_att if failure_rate_pct > 0 else None,
+            "obs_att": obs_att,
             "sched": sched,
             "n_raw": n_raw,
             "n_cand": n_cand,
@@ -804,7 +826,8 @@ def crawl_round(
         got = obs.get
         n_fetched = int(got["n_fetched"])
         bytes_extracted = int(got["bytes_extracted"])
-        if failure_rate_pct > 0:
+        n_retries = n_failures = 0
+        if obs_att is not None:
             att_got = obs_att.get  # same job as obs — no extra pass
             n_retries = int(att_got["retries"])
             n_failures = int(att_got["failures"])
@@ -877,10 +900,16 @@ def crawl_round(
                 new_blooms = filter_in.unionByName(delta)
     mark(f"r{rnd} filter-maintenance")
     metrics = state.metrics
+    metrics_delta = None
     for piece in (prev_metrics, round_metrics):
         if piece is not None:
             metrics = (
                 piece if metrics is None else metrics.unionByName(piece)
+            )
+            metrics_delta = (
+                piece
+                if metrics_delta is None
+                else metrics_delta.unionByName(piece)
             )
     schedule = (
         sched
@@ -888,13 +917,26 @@ def crawl_round(
         else state.schedule.unionByName(sched)
     )
     # scale-tracking counts for the NEXT round's auto decisions — parquet-
-    # footer metadata off the two frames this round already materialized,
-    # and only paid when an auto knob is on (the fixed-mode job count per
+    # footer metadata off the frames this round already materialized, and
+    # only paid when an auto knob is on (the fixed-mode job count per
     # round is unchanged)
     n_seen_next, n_pending_next = state.n_seen, state.n_pending
     if auto_scale:
         n_seen_next = state.n_seen + sched.count()
-        n_pending_next = next_cand.count()
+        if fuse_fetch:
+            # the deferred fetch must NOT run early (counting next_cand
+            # would execute it — the exact conflict VERDICT r04 named), so
+            # the auto probe uses THIS round's already-resolved raw
+            # candidate count as a one-round-stale proxy for the pending
+            # size. The inline/join switch factor is deliberately coarse
+            # (both modes are oracle-exact; only the cost shape changes),
+            # so one round of staleness moves the crossover by at most one
+            # round — and an uninterrupted fused run and a fused resume
+            # make the identical mode decisions (the proxy is committed in
+            # the fused_pending marker).
+            n_pending_next = n_raw
+        else:
+            n_pending_next = next_cand.count()
     # schedule/metrics are OUTPUTS (nothing downstream in the loop reads
     # them) and they union per-round checkpointed frames — keeping them
     # lazy saves two materialization jobs per round
@@ -909,6 +951,7 @@ def crawl_round(
         n_pending=n_pending_next,
         filter_buckets=n_buckets if use_bloom else None,
         pending_fetch=pending,
+        metrics_delta=metrics_delta,
     )
 
 
@@ -927,7 +970,11 @@ def finalize_crawl(state: CrawlState) -> CrawlState:
         rows if state.metrics is None else state.metrics.unionByName(rows)
     )
     return replace(
-        state, candidates=cand, metrics=metrics, pending_fetch=None
+        state,
+        candidates=cand,
+        metrics=metrics,
+        pending_fetch=None,
+        metrics_delta=rows,
     )
 
 
@@ -962,13 +1009,15 @@ def run_crawl(
     Input contract: one page per canonical_url. Pass ``dedup_pages=True``
     to enforce it at ingest (LWW on (warc_ts, url) — see
     :func:`dedup_pages_lww`) when the corpus may contain recrawls.
+
+    ``fuse_fetch`` composes with BOTH the auto scale knobs and a catalog
+    (r5; the r4 pairwise ValueError guards are gone): auto counts come
+    from the fused path's already-resolved observations instead of
+    counting the deferred plan, and durable commits persist the bounded
+    RECOMPUTE POINT of the pending fetch (the sched parquet + a
+    fused_pending marker row) instead of the fetch's output — see
+    :func:`_commit_round` and :func:`resume_crawl`.
     """
-    if fuse_fetch and catalog is not None:
-        raise ValueError(
-            "fuse_fetch requires catalog=None: per-round commits need the"
-            " pending_candidates delta durable, which the deferred fetch"
-            " is not"
-        )
     pages_c = _with_canonical(pages)
     if dedup_pages:
         pages_c = dedup_pages_lww(pages_c)
@@ -998,7 +1047,43 @@ def run_crawl(
             _maybe_rebucket(catalog, state, prev_filter_buckets)
             _commit_round(spark, catalog, state, filter_kind)
         prev_filter_buckets = state.filter_buckets
-    return finalize_crawl(state)
+    return _finalize_with_catalog(catalog, state)
+
+
+def _finalize_with_catalog(catalog: Catalog | None, state: CrawlState):
+    """Flush the last round's deferred fetch and, with a catalog, bring the
+    commit history to the eager-equivalent shape: real pending_candidates
+    rows replace the fused marker, and the final round's just-resolved
+    metrics join its tag's dir.
+
+    Commit order is crash-deliberate: (1) pending_candidates data, (2)
+    fused_pending truncation — the point after which resume takes the
+    plain eager path, (3) the metrics flush. A kill before (2) leaves the
+    fused marker, so resume rebuilds the deferred plan and re-resolves —
+    no duplicates; a kill between (2) and (3) loses ONE round's
+    fetch-metrics row (the observation is gone and nothing re-runs the
+    plan) while schedule/url_seen/pending data stay exact — a bounded,
+    documented gap chosen over the duplicate-metrics alternative."""
+    if state.pending_fetch is None or catalog is None:
+        return finalize_crawl(state)
+    rnd = state.round_no
+    prev_delta = state.metrics_delta  # what the tag=rnd metrics dir holds
+    state = finalize_crawl(state)
+    flush = state.metrics_delta
+    catalog.append(
+        "pending_candidates",
+        state.candidates.withColumn("for_round", F.lit(rnd)),
+        tag=rnd,
+    )
+    catalog.truncate_tags("fused_pending", rnd)
+    # the tag=rnd dir holds prev_delta (the rows that resolved AT round
+    # rnd); re-appending at the same tag replaces it, so the flush rows
+    # must ride together with them
+    combined = (
+        flush if prev_delta is None else prev_delta.unionByName(flush)
+    )
+    catalog.append("metrics", combined, tag=rnd)
+    return state
 
 
 def _maybe_rebucket(
@@ -1052,14 +1137,42 @@ def _commit_round(
     catalog.append(
         "schedule", state.schedule.filter(F.col("round") == rnd), tag=rnd
     )
-    catalog.append(
-        "metrics", state.metrics.filter(F.col("round") == rnd), tag=rnd
-    )
-    catalog.append(
-        "pending_candidates",
-        state.candidates.withColumn("for_round", F.lit(rnd)),
-        tag=rnd,
-    )
+    # metrics: the round's DELTA rows (eager: this round's rows; fused:
+    # the previous round's just-resolved rows — fetch metrics resolve one
+    # round late in fused mode, so tag k's dir holds the rows that
+    # RESOLVED at round k). Resume filters on the ROW round column, so
+    # which tag a row rides in is invisible to readers.
+    if state.metrics_delta is not None:
+        catalog.append("metrics", state.metrics_delta, tag=rnd)
+    else:
+        catalog.truncate_tags("metrics", rnd)
+    if state.pending_fetch is not None and state.pending_fetch["round"] == rnd:
+        # fused commit: the round's candidates are a LAZY fetch plan —
+        # writing them would execute the deferred fetch and forfeit the
+        # 1-job/round shape. The sched parquet committed above is durable
+        # and the fetch is a pure function of (pages, sched, failure
+        # knobs), so commit the bounded RECOMPUTE POINT instead: a marker
+        # row carrying the counts the deferred metrics resolution needs
+        # (resume rebuilds the identical plan via _fetch_extract_plan).
+        pf = state.pending_fetch
+        catalog.append(
+            "fused_pending",
+            spark.createDataFrame(
+                [(rnd, pf["n_raw"], pf["n_cand"], pf["mode"],
+                  pf["n_buckets"])],
+                "round int, n_raw bigint, n_cand bigint, probe_mode string,"
+                " filter_buckets int",
+            ),
+            tag=rnd,
+        )
+        catalog.truncate_tags("pending_candidates", rnd)
+    else:
+        catalog.append(
+            "pending_candidates",
+            state.candidates.withColumn("for_round", F.lit(rnd)),
+            tag=rnd,
+        )
+        catalog.truncate_tags("fused_pending", rnd)
     if state.blooms is not None:
         # small (n_buckets rows). The filter's round rides INSIDE the same
         # atomic overwrite: a crash between this write and round_marker
@@ -1088,6 +1201,11 @@ def _commit_round(
         "round_marker",
         spark.createDataFrame([(rnd,)], "round int"),
     )
+    # markers for rounds BEFORE the one just committed are stale by
+    # definition (resume reads only round == marker) — expire them now,
+    # strictly AFTER the marker write so a crash at any point leaves the
+    # marker round's own recompute point intact
+    catalog.expire_tags("fused_pending", rnd)
 
 
 def resume_crawl(
@@ -1107,6 +1225,7 @@ def resume_crawl(
     window_ms: int = 60_000,
     probe_confirm: str = "inline",
     bucket_target_keys: int = 1 << 20,
+    fuse_fetch: bool = False,
 ) -> CrawlState:
     """Resume from the catalog's last committed round and finish the crawl.
 
@@ -1121,6 +1240,16 @@ def resume_crawl(
     conflicts with an explicit ``bloom_buckets`` (or a legacy table without
     the column under ``bloom_buckets=None``) is discarded and rebuilt from
     the exact key set rather than probed at the wrong layout.
+
+    A catalog committed in ``fuse_fetch`` mode stores no candidate rows
+    for the in-flight round — it stores the RECOMPUTE POINT: the round's
+    durable sched parquet plus a ``fused_pending`` marker row. Resume
+    rebuilds the identical deferred plan via :func:`_fetch_extract_plan`
+    (the fetch is a pure function of pages + sched + the failure knobs,
+    which the caller passes identically — same contract as every other
+    resume knob) and re-attaches the deferred observation, so the round's
+    fetch metrics resolve at the next consuming job exactly as they would
+    have in the uninterrupted run.
     """
     done = catalog.read("round_marker").collect()[0]["round"]
     pages_c = _with_canonical(pages)
@@ -1170,13 +1299,51 @@ def resume_crawl(
     url_seen = catalog.read("url_seen").filter(
         F.col("first_seen_round") <= done
     )
-    candidates = (
-        catalog.read("pending_candidates")
-        .filter(F.col("for_round") == done)
-        .drop("for_round")
-    )
+    # fused-commit detection: a marker row for round==done means the
+    # in-flight round's candidates were committed as a recompute point,
+    # not as rows — rebuild the deferred plan from the durable schedule
+    fused_row = None
+    if catalog.exists("fused_pending"):
+        rows = (
+            catalog.read("fused_pending")
+            .filter(F.col("round") == done)
+            .collect()
+        )
+        fused_row = rows[0] if rows else None
     auto_scale = bloom_buckets is None or probe_confirm == "auto"
-    metrics = catalog.read("metrics").filter(F.col("round") <= done)
+    pending = None
+    if fused_row is not None:
+        sched_done = catalog.read("schedule").filter(F.col("round") == done)
+        candidates, obs, obs_att = _fetch_extract_plan(
+            pages_c, sched_done, done, failure_rate_pct, max_fetch_attempts
+        )
+        pending = {
+            "round": done,
+            "obs": obs,
+            "obs_att": obs_att,
+            "sched": sched_done,
+            "n_raw": int(fused_row["n_raw"]),
+            "n_cand": int(fused_row["n_cand"]),
+            "mode": fused_row["probe_mode"],
+            "n_buckets": int(fused_row["filter_buckets"]),
+        }
+        # round done's metrics have NOT resolved (they resolve at the next
+        # consuming job); any round==done rows in the table are orphans of
+        # a crashed next-round attempt — exclude them, the re-resolution
+        # re-adds identical rows (deterministic) at the re-run's tag
+        metrics = catalog.read("metrics").filter(F.col("round") < done)
+        # auto counts: same one-round-stale proxy the uninterrupted fused
+        # run uses (committed in the marker), so resume makes identical
+        # inline/join decisions
+        n_pending = int(fused_row["n_raw"]) if auto_scale else None
+    else:
+        candidates = (
+            catalog.read("pending_candidates")
+            .filter(F.col("for_round") == done)
+            .drop("for_round")
+        )
+        metrics = catalog.read("metrics").filter(F.col("round") <= done)
+        n_pending = candidates.count() if auto_scale else None
     # pre-r4 catalogs lack the probe_mode/filter_buckets metrics columns;
     # pad with NULLs so the per-round unionByName keeps resolving
     # (review r4 finding #1)
@@ -1191,8 +1358,9 @@ def resume_crawl(
         round_no=done,
         blooms=blooms,
         n_seen=url_seen.count() if auto_scale else 0,
-        n_pending=candidates.count() if auto_scale else None,
+        n_pending=n_pending,
         filter_buckets=filter_buckets,
+        pending_fetch=pending,
     )
     robots_ph = _materialize(robots_per_host(robots))
     prev_filter_buckets = filter_buckets or storage_buckets
@@ -1208,8 +1376,9 @@ def resume_crawl(
             window_ms=window_ms,
             probe_confirm=probe_confirm,
             bucket_target_keys=bucket_target_keys,
+            fuse_fetch=fuse_fetch,
         )
         _maybe_rebucket(catalog, state, prev_filter_buckets)
         _commit_round(spark, catalog, state, filter_kind)
         prev_filter_buckets = state.filter_buckets
-    return state
+    return _finalize_with_catalog(catalog, state)

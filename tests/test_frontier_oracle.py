@@ -9,7 +9,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from logcrawler_spark.plans.frontier import run_crawl
+from logcrawler_spark.plans.frontier import resume_crawl, run_crawl
 from logcrawler_spark.sources.pages import (
     generate_pages,
     generate_robots_rules,
@@ -177,7 +177,7 @@ def test_duplicate_canonical_pages_lww(spark):
     import pandas as pd
 
     from logcrawler_spark.oracles.frontier_sim import simulate_crawl
-    from logcrawler_spark.plans.frontier import run_crawl
+    from logcrawler_spark.plans.frontier import resume_crawl, run_crawl
 
     def html(text, href):
         return f'<p>{text}</p><a href="{href}">x</a>'.encode()
@@ -235,7 +235,7 @@ def test_fetch_retry_failover_preserves_schedule(spark):
     """S6: with transient failures + enough bounded retries, the final
     schedule is identical to the no-failure run, and the retry/failure
     counters land in metrics."""
-    from logcrawler_spark.plans.frontier import run_crawl
+    from logcrawler_spark.plans.frontier import resume_crawl, run_crawl
 
     pages = generate_pages(spark, SF_SMOKE, n_hosts=N_HOSTS)
     seeds = generate_seeds(spark, SF_SMOKE, n_hosts=N_HOSTS)
@@ -267,7 +267,7 @@ def test_fetch_retry_failover_preserves_schedule(spark):
 def test_fetch_permanent_failures_drop_pages_and_are_counted(spark):
     """With a single attempt, ~failure_rate of pages fail permanently: they
     are not fetched (no outlinks) and the failure counter records them."""
-    from logcrawler_spark.plans.frontier import run_crawl
+    from logcrawler_spark.plans.frontier import resume_crawl, run_crawl
 
     pages = generate_pages(spark, SF_SMOKE, n_hosts=N_HOSTS)
     seeds = generate_seeds(spark, SF_SMOKE, n_hosts=N_HOSTS)
@@ -433,11 +433,8 @@ def test_fuse_fetch_matches_eager_and_simulator(spark):
     assert key(fused) == sorted(tuple(t) for t in sim.schedule)
 
 
-def test_fuse_fetch_with_failures_and_guards(spark):
-    """Deferred attempt-observations resolve correctly; incompatible knob
-    combinations are rejected loudly."""
-    import pytest as _pytest
-
+def test_fuse_fetch_with_failures_matches_eager(spark):
+    """Deferred attempt-observations resolve correctly one round late."""
     pages = generate_pages(spark, SF_SMOKE, n_hosts=10)
     seeds = generate_seeds(spark, SF_SMOKE, n_hosts=10)
     robots = generate_robots_rules(spark, n_hosts=10)
@@ -458,17 +455,143 @@ def test_fuse_fetch_with_failures_and_guards(spark):
     )
     assert tot(fused) == tot(eager)
 
-    with _pytest.raises(ValueError, match="fuse_fetch"):
-        run_crawl(
-            spark, pages, seeds, robots, rounds=1, budget=3,
-            fuse_fetch=True, probe_confirm="auto",
-        )
-    from logcrawler_spark.catalog import Catalog
-    import tempfile
 
-    with _pytest.raises(ValueError, match="fuse_fetch"):
-        run_crawl(
-            spark, pages, seeds, robots, rounds=1, budget=3,
-            fuse_fetch=True,
-            catalog=Catalog(spark, tempfile.mkdtemp()),
-        )
+def test_fuse_auto_durable_compose_and_match_eager(spark, tmp_path):
+    """The r5 composition (VERDICT r04 item 1): fuse_fetch=True +
+    probe_confirm='auto' + bloom_buckets=None + per-round durable commits
+    in ONE run, results identical to the plain eager run — the
+    1-job/round configuration is now also scale-adaptive and resumable."""
+    from logcrawler_spark.catalog import Catalog
+
+    pages = generate_pages(spark, SF_SMOKE, n_hosts=N_HOSTS)
+    seeds = generate_seeds(spark, SF_SMOKE, n_hosts=N_HOSTS)
+    robots = generate_robots_rules(spark, n_hosts=N_HOSTS)
+
+    cat = Catalog(spark, str(tmp_path))
+    fused = run_crawl(
+        spark, pages, seeds, robots, rounds=3, budget=BUDGET,
+        fuse_fetch=True, probe_confirm="auto", bloom_buckets=None,
+        catalog=cat,
+    )
+    eager = run_crawl(
+        spark, pages, seeds, robots, rounds=3, budget=BUDGET,
+    )
+    key = lambda st: sorted(
+        (r["round"], r["host"], r["priority"], r["canonical_url"],
+         r["host_rank"], r["slot_ms"])
+        for r in st.schedule.collect()
+    )
+    assert key(fused) == key(eager)
+    assert fused.pending_fetch is None
+    seen = lambda st: {r["canonical_url"] for r in st.url_seen.collect()}
+    assert seen(fused) == seen(eager)
+    # the catalog's committed history equals the in-memory state,
+    # including the final round's flushed metrics and REAL candidate rows
+    cat_sched = sorted(
+        (r["round"], r["host"], r["priority"], r["canonical_url"],
+         r["host_rank"], r["slot_ms"])
+        for r in cat.read("schedule").collect()
+    )
+    assert cat_sched == key(eager)
+    mcols = [
+        "round", "urls_raw_total", "urls_candidates_total",
+        "pages_fetched_total", "bytes_extracted_total",
+    ]
+    mrows = lambda df: sorted(
+        set(tuple(r[c] for c in mcols) for r in df.collect())
+    )
+    assert mrows(cat.read("metrics")) == mrows(eager.metrics)
+    # finalize replaced the fused marker with real candidate rows
+    assert not cat.exists("fused_pending") or not (
+        cat.read("fused_pending").collect()
+    )
+    n_pending_rows = (
+        cat.read("pending_candidates").filter(F.col("for_round") == 3).count()
+    )
+    assert n_pending_rows == fused.candidates.count()
+
+
+def test_fused_durable_resume_after_kill_matches_straight(spark, tmp_path):
+    """Kill a fused+auto+durable crawl mid-flight (marker at round 2 of
+    4): resume in fused mode must rebuild the deferred fetch from the
+    committed recompute point (sched parquet + fused_pending marker),
+    re-resolve its metrics, and finish with schedule/url_seen/metrics
+    identical to the uninterrupted run."""
+    from logcrawler_spark.catalog import Catalog
+
+    pages = generate_pages(spark, SF_SMOKE, n_hosts=N_HOSTS)
+    seeds = generate_seeds(spark, SF_SMOKE, n_hosts=N_HOSTS)
+    robots = generate_robots_rules(spark, n_hosts=N_HOSTS)
+
+    full = run_crawl(
+        spark, pages, seeds, robots, rounds=4, budget=BUDGET,
+        fuse_fetch=True, probe_confirm="auto", bloom_buckets=None,
+    )
+    cat = Catalog(spark, str(tmp_path))
+    # killed run: only 2 rounds reach the catalog; the round-2 fetch is
+    # still deferred at the kill, so the catalog holds its recompute
+    # point, not its rows
+    run_crawl(
+        spark, pages, seeds, robots, rounds=2, budget=BUDGET,
+        fuse_fetch=True, probe_confirm="auto", bloom_buckets=None,
+        catalog=cat,
+    )
+    # simulate the kill right after _commit_round(2): run_crawl returned
+    # normally so finalize already flushed — restore the pre-flush commit
+    # shape (fused marker back, pending rows gone, metrics back to the
+    # rows that had resolved AT round 2, i.e. round 1's)
+    import pyspark.sql.functions as SF
+
+    n_raw = (
+        cat.read("metrics")
+        .filter(SF.col("round") == 2)
+        .select("urls_raw_total").distinct().collect()[0][0]
+    )
+    n_cand = (
+        cat.read("metrics")
+        .filter(SF.col("round") == 2)
+        .select("urls_candidates_total").distinct().collect()[0][0]
+    )
+    probe_mode = (
+        cat.read("metrics").filter(SF.col("round") == 2)
+        .select("probe_mode").distinct().collect()[0][0]
+    )
+    nb = (
+        cat.read("metrics").filter(SF.col("round") == 2)
+        .select("filter_buckets").distinct().collect()[0][0]
+    )
+    cat.append(
+        "fused_pending",
+        spark.createDataFrame(
+            [(2, int(n_raw), int(n_cand), probe_mode, int(nb))],
+            "round int, n_raw bigint, n_cand bigint, probe_mode string,"
+            " filter_buckets int",
+        ),
+        tag=2,
+    )
+    cat.truncate_tags("pending_candidates", 2)
+    # drop the flushed round-2 metrics rows (they resolve again on resume)
+    cat.append(
+        "metrics", cat.read("metrics").filter(SF.col("round") == 1), tag=2
+    )
+
+    resumed = resume_crawl(
+        spark, pages, robots, cat, total_rounds=4, budget=BUDGET,
+        probe_confirm="auto", bloom_buckets=None, fuse_fetch=True,
+    )
+    key = lambda st: sorted(
+        (r["round"], r["host"], r["priority"], r["canonical_url"],
+         r["host_rank"], r["slot_ms"])
+        for r in st.schedule.collect()
+    )
+    assert key(resumed) == key(full)
+    seen = lambda st: {r["canonical_url"] for r in st.url_seen.collect()}
+    assert seen(resumed) == seen(full)
+    mcols = [
+        "round", "urls_raw_total", "urls_candidates_total",
+        "pages_fetched_total", "bytes_extracted_total",
+    ]
+    mrows = lambda df: sorted(
+        set(tuple(r[c] for c in mcols) for r in df.collect())
+    )
+    assert mrows(cat.read("metrics")) == mrows(full.metrics)
