@@ -45,14 +45,23 @@ def pagerank_int(
     damping_num: int = 85,
     damping_den: int = 100,
     scale: int = SCALE,
+    nodes: DataFrame | None = None,
 ) -> DataFrame:
-    """edges(src long, dst long; nodes 0..n_nodes-1) -> (node, rank_int,
-    rank) after ``n_iter`` damped power iterations; dangling mass is
-    redistributed uniformly each step."""
+    """edges(src, dst) -> (node, rank_int, rank) after ``n_iter`` damped
+    power iterations; dangling mass is redistributed uniformly each step.
+
+    Default node space is the dense longs 0..n_nodes-1. Pass ``nodes`` (one
+    column ``node``, any joinable type — e.g. URL strings for the crawl
+    frontier's link graph) to rank an arbitrary node set; ``n_nodes`` must
+    equal its row count (kept explicit so the caller controls when the
+    count job runs). All arithmetic depends on node identity only through
+    joins, so the exact-int64 bit-identity with the pure-Python oracle is
+    preserved for any node type."""
     from logcrawler_spark.utils import materialize
 
     spark = edges.sparkSession
-    nodes = spark.range(n_nodes).select(F.col("id").alias("node"))
+    if nodes is None:
+        nodes = spark.range(n_nodes).select(F.col("id").alias("node"))
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     base = (damping_den - damping_num) * scale // (damping_den * n_nodes)
     ranks = nodes.withColumn("rank_int", F.lit(scale // n_nodes))

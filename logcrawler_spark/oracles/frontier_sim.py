@@ -100,6 +100,8 @@ def simulate_crawl(
     ttl_rounds: int | None = None,
     windows_per_round: int = 1,
     window_ms: int = 60_000,
+    priority_source: str = "inherit",
+    pagerank_iters: int = 4,
 ) -> SimResult:
     """pages/seeds/robots as pandas DataFrames (column names per FIXTURES.md).
 
@@ -112,7 +114,15 @@ def simulate_crawl(
     per host; over-budget candidates roll to the next window (slot offset
     += the host's window stride, max(window_ms, budget*delay) so slow
     hosts never collide across window boundaries), and past the last
-    window they stay unscheduled."""
+    window they stay unscheduled.
+
+    ``priority_source="pagerank"``: after each round, candidate priorities
+    are replaced by the exact-int64 PageRank of the candidate URL over the
+    cumulative outlink graph (``oracles/graph_sim.pagerank_int_py``, same
+    arithmetic as the engine's ``operators/graph.pagerank_int``; node
+    space = the raw endpoint strings as emitted; rank_int used verbatim as
+    the float priority — exact below 2^53). Mirrors
+    ``plans/frontier.run_crawl(priority_source="pagerank")``."""
     # one page per canonical URL, keeping the max (warc_ts, url) row —
     # matches plans.frontier.dedup_pages_lww (with unique canonicals, as in
     # the generated corpus, this reduces to identity)
@@ -171,6 +181,7 @@ def simulate_crawl(
     res = SimResult()
     seen_round: dict[str, int] = {}  # canonical -> round last scheduled
     candidates = [(r.url, float(r.priority)) for r in seeds_pdf.itertuples()]
+    edges: list[tuple[str, str]] = []  # cumulative (src, dst) outlink graph
 
     for rnd in range(1, rounds + 1):
         # 1. canonicalize + within-batch last-writer-wins (max priority)
@@ -218,5 +229,22 @@ def simulate_crawl(
                 continue  # 404 analog
             res.extracted[c] = extract_text(html)
             for href in extract_links(html):
-                candidates.append((resolve_link(c, href), p * PRIORITY_DECAY))
+                dst = resolve_link(c, href)
+                candidates.append((dst, p * PRIORITY_DECAY))
+                if priority_source == "pagerank":
+                    edges.append((c, dst))
+        # 7. pagerank priority seeding over the cumulative graph
+        if priority_source == "pagerank" and edges:
+            from logcrawler_spark.oracles.graph_sim import pagerank_int_py
+
+            nodes = sorted({u for e in edges for u in e})
+            idx = {u: i for i, u in enumerate(nodes)}
+            ranks = pagerank_int_py(
+                [(idx[s], idx[d]) for s, d in edges],
+                len(nodes),
+                n_iter=pagerank_iters,
+            )
+            candidates = [
+                (u, float(ranks[idx[u]])) for u, _p in candidates
+            ]
     return res

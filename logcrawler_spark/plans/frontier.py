@@ -470,6 +470,7 @@ def _fetch_extract_plan(
     rnd: int,
     failure_rate_pct: int,
     max_fetch_attempts: int,
+    keep_src: bool = False,
 ):
     """Build the LAZY fetch + extract + outlink plan for one round's
     schedule; returns ``(outlinks, obs, obs_att)``. Pure plan construction
@@ -528,14 +529,19 @@ def _fetch_extract_plan(
         F.count(F.lit(1)).alias("n_fetched"),
         F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("bytes_extracted"),
     )
+    out_cols = [
+        resolve_link(F.col("src_url"), F.col("href")).alias("url"),
+        (F.col("__parent_priority") * PRIORITY_DECAY).alias("priority"),
+    ]
+    if keep_src:
+        # link-graph mode: keep the (canonical) source so the caller can
+        # accumulate (src, dst) edges for PageRank priority seeding
+        out_cols.append(F.col("src_url"))
     outlinks = enriched.select(
         F.col("canonical_url").alias("src_url"),
         F.col("priority").alias("__parent_priority"),
         F.explode("hrefs").alias("href"),
-    ).select(
-        resolve_link(F.col("src_url"), F.col("href")).alias("url"),
-        (F.col("__parent_priority") * PRIORITY_DECAY).alias("priority"),
-    )
+    ).select(*out_cols)
     return outlinks, obs, obs_att
 
 
@@ -555,6 +561,7 @@ def crawl_round(
     probe_confirm: str = "inline",
     bucket_target_keys: int = 1 << 20,
     fuse_fetch: bool = False,
+    keep_src: bool = False,
 ) -> CrawlState:
     """Advance one round. ``pages_c`` = pages with canonical_url attached.
 
@@ -800,7 +807,8 @@ def crawl_round(
     # fetch + extract + expand in ONE pass over the corpus — plan built by
     # :func:`_fetch_extract_plan` (shared with the fused-resume rebuild)
     outlinks, obs, obs_att = _fetch_extract_plan(
-        pages_c, sched, rnd, failure_rate_pct, max_fetch_attempts
+        pages_c, sched, rnd, failure_rate_pct, max_fetch_attempts,
+        keep_src=keep_src,
     )
     pending = None
     round_metrics = None
@@ -978,6 +986,45 @@ def finalize_crawl(state: CrawlState) -> CrawlState:
     )
 
 
+def _pagerank_reprioritize(
+    cand: DataFrame, edges_all: DataFrame, n_iter: int
+) -> DataFrame:
+    """Replace candidate priorities with the PageRank of each candidate
+    URL over the cumulative outlink graph (priority_source="pagerank" —
+    SURVEY W5; reference analog: the processing-order sorts,
+    ``02_combine_logs.py:227-230``, upgraded to link-structure priority).
+
+    ``cand`` carries (url, priority, src_url); ``edges_all`` is the
+    cumulative (src, dst) edge set. Nodes are the distinct endpoint URLs
+    (raw dst strings / canonical src strings, exactly as emitted — the
+    simulator mirrors this node space). The rank is exact int64 at 1e-12
+    resolution, used VERBATIM as the priority (rank_int < 1e12 < 2^53, so
+    the double cast is exact and the schedule's hash gate survives); every
+    candidate is a dst node by construction. One shuffle per pagerank
+    iteration plus one broadcast join — pagerank-priority mode trades
+    per-round graph work for crawl-order quality, the caller's knob."""
+    from logcrawler_spark.operators.graph import pagerank_int
+    from logcrawler_spark.utils import materialize
+
+    nodes = materialize(
+        edges_all.select(F.col("src").alias("node"))
+        .unionByName(edges_all.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # parquet-footer metadata off the materialize
+    ranks = pagerank_int(edges_all, n_nodes, n_iter=n_iter, nodes=nodes)
+    return cand.join(
+        ranks.select(F.col("node").alias("url"), "rank_int"),
+        on="url",
+        how="left",
+    ).select(
+        "url",
+        F.coalesce(F.col("rank_int"), F.lit(0))
+        .cast("double")
+        .alias("priority"),
+    )
+
+
 def run_crawl(
     spark: SparkSession,
     pages: DataFrame,
@@ -998,8 +1045,22 @@ def run_crawl(
     probe_confirm: str = "inline",
     bucket_target_keys: int = 1 << 20,
     fuse_fetch: bool = False,
+    priority_source: str = "inherit",
+    pagerank_iters: int = 4,
 ) -> CrawlState:
     """Run ``rounds`` crawl rounds from the seed list.
+
+    ``priority_source``: "inherit" (default) decays each child's priority
+    from its parent (priority * PRIORITY_DECAY); "pagerank" re-seeds every
+    round's candidate priorities from the PageRank of the CUMULATIVE
+    outlink graph crawled so far (``pagerank_iters`` power iterations,
+    exact int64 — see :func:`_pagerank_reprioritize`). Round 1 always uses
+    the seed priorities (no graph yet). Pagerank mode runs the rounds
+    EAGER even when ``fuse_fetch=True``: the per-round graph computation
+    is itself an action consuming the deferred plan, so fusion's
+    1-job/round advantage is unreachable — eager keeps fetch metrics
+    same-round and the per-round commits resumable. Pagerank priority is
+    a crawl-QUALITY knob, priced accordingly.
 
     With a ``catalog``, url_seen / schedule / metrics are committed per
     round (snapshot isolation) — the resume path (`resume_crawl`) restarts
@@ -1027,8 +1088,12 @@ def run_crawl(
     empty_seen = spark.createDataFrame(
         [], "url_hash long, canonical_url string, first_seen_round int"
     )
+    if priority_source not in ("inherit", "pagerank"):
+        raise ValueError(f"unknown priority_source {priority_source!r}")
+    pagerank = priority_source == "pagerank"
     state = CrawlState(url_seen=empty_seen, candidates=seeds)
     prev_filter_buckets = None
+    edges_all: DataFrame | None = None
     for _ in range(rounds):
         state = crawl_round(
             state, pages_c, robots_ph, budget, use_bloom,
@@ -1041,9 +1106,37 @@ def run_crawl(
             window_ms=window_ms,
             probe_confirm=probe_confirm,
             bucket_target_keys=bucket_target_keys,
-            fuse_fetch=fuse_fetch,
+            fuse_fetch=fuse_fetch and not pagerank,
+            keep_src=pagerank,
         )
+        if pagerank:
+            # accumulate this round's (src, dst) edges and re-seed the
+            # next round's candidate priorities from the cumulative graph
+            # (candidates are already materialized — eager mode)
+            from dataclasses import replace
+
+            cand = state.candidates
+            edges_rnd = cand.select(
+                F.col("src_url").alias("src"), F.col("url").alias("dst")
+            )
+            edges_all = (
+                edges_rnd
+                if edges_all is None
+                else edges_all.unionByName(edges_rnd)
+            )
+            state = replace(
+                state,
+                candidates=_pagerank_reprioritize(
+                    cand, edges_all, pagerank_iters
+                ),
+            )
         if catalog is not None:
+            if pagerank:
+                # the round's edge delta rides its own tagged append so a
+                # resume reads the EXACT cumulative graph (multiplicity
+                # included) instead of re-extracting it; committed before
+                # round_marker like every other per-round table
+                catalog.append("link_edges", edges_rnd, tag=state.round_no)
             _maybe_rebucket(catalog, state, prev_filter_buckets)
             _commit_round(spark, catalog, state, filter_kind)
         prev_filter_buckets = state.filter_buckets
@@ -1226,6 +1319,8 @@ def resume_crawl(
     probe_confirm: str = "inline",
     bucket_target_keys: int = 1 << 20,
     fuse_fetch: bool = False,
+    priority_source: str = "inherit",
+    pagerank_iters: int = 4,
 ) -> CrawlState:
     """Resume from the catalog's last committed round and finish the crawl.
 
@@ -1364,6 +1459,35 @@ def resume_crawl(
     )
     robots_ph = _materialize(robots_per_host(robots))
     prev_filter_buckets = filter_buckets or storage_buckets
+    if priority_source not in ("inherit", "pagerank"):
+        raise ValueError(f"unknown priority_source {priority_source!r}")
+    pagerank = priority_source == "pagerank"
+    edges_all: DataFrame | None = None
+    if pagerank and done > 0:
+        if catalog.exists("link_edges"):
+            # a pagerank crawl committed its per-round edge deltas —
+            # read the exact graph as of the marker (manifest tag prune)
+            edges_all = catalog.read_at("link_edges", done)
+        else:
+            # resuming a non-pagerank catalog WITH pagerank priorities:
+            # the cumulative edge set is a pure function of the committed
+            # state — every fetched page is a seen canonical present in
+            # the corpus, extracted exactly once (no TTL re-fetches, which
+            # only pagerank-committed catalogs track by multiplicity), so
+            # re-extracting links over (pages ⋈ url_seen) rebuilds it.
+            seen_pages = pages_c.join(
+                state.url_seen.select("canonical_url").distinct(),
+                on="canonical_url",
+            )
+            edges_all = _materialize(
+                seen_pages.select(
+                    F.col("canonical_url").alias("src"),
+                    F.explode(extract_links(F.col("html"))).alias("href"),
+                ).select(
+                    "src",
+                    resolve_link(F.col("src"), F.col("href")).alias("dst"),
+                )
+            )
     for _ in range(total_rounds - done):
         state = crawl_round(
             state, pages_c, robots_ph, budget, use_bloom,
@@ -1376,8 +1500,28 @@ def resume_crawl(
             window_ms=window_ms,
             probe_confirm=probe_confirm,
             bucket_target_keys=bucket_target_keys,
-            fuse_fetch=fuse_fetch,
+            fuse_fetch=fuse_fetch and not pagerank,
+            keep_src=pagerank,
         )
+        if pagerank:
+            from dataclasses import replace
+
+            cand = state.candidates
+            edges_rnd = cand.select(
+                F.col("src_url").alias("src"), F.col("url").alias("dst")
+            )
+            edges_all = (
+                edges_rnd
+                if edges_all is None
+                else edges_all.unionByName(edges_rnd)
+            )
+            state = replace(
+                state,
+                candidates=_pagerank_reprioritize(
+                    cand, edges_all, pagerank_iters
+                ),
+            )
+            catalog.append("link_edges", edges_rnd, tag=state.round_no)
         _maybe_rebucket(catalog, state, prev_filter_buckets)
         _commit_round(spark, catalog, state, filter_kind)
         prev_filter_buckets = state.filter_buckets

@@ -48,6 +48,7 @@ _PRIORITY = [
     # flagship crawl semantics
     "q_crawl_round",
     "q_crawl_ttl_recrawl",
+    "q_crawl_pagerank_priority",
     # binary/container sources + kernels (driver-unchecked in r02)
     "q_binlog_scan",
     "q_warc_scan",
@@ -79,7 +80,9 @@ _PRIORITY = [
     "q_politeness_window",
     "q_event_window_agg",
     "q_asof_nearest",
-    "q_interval_overlap",
+    # q_interval_overlap rotated out (r5): J6's banded theta join stays
+    # driver-stamped via q_geometry_bbox; the slot stamps the pagerank-
+    # priority crawl composition
     "q_argmax_overlap",
     "q_fuzzy_match",
     "q_dedup_lww",

@@ -1034,3 +1034,57 @@ def q_crawl_ttl_recrawl(spark, sf_dir):
     return state.schedule.select(
         "round", "host", "canonical_url", "priority", "host_rank", "slot_ms"
     )
+
+
+@register("q_crawl_pagerank_priority", fixture_sql("q_crawl_pagerank_priority"))
+def q_crawl_pagerank_priority(spark, sf_dir):
+    """The pagerank-priority crawl as a pack entry (r5, SURVEY W5 +
+    reference processing-order analog ``02_combine_logs.py:227-230``):
+    rounds past the first re-seed candidate priorities from the exact
+    int64 PageRank of the cumulative outlink graph, so the schedule's
+    priority column IS the distributed iterative-graph result. Exact
+    oracle: the pure-Python simulator composes the same pipeline with the
+    independent ``graph_sim.pagerank_int_py`` — both sides exact integer
+    arithmetic, so the whole composition stays under the full
+    rows+schema+hash gate."""
+    from logcrawler_spark.oracles import write_fixture
+    from logcrawler_spark.oracles.frontier_sim import simulate_crawl
+    from logcrawler_spark.plans.frontier import run_crawl
+    from logcrawler_spark.sources.pages import (
+        generate_pages,
+        generate_robots_rules,
+        generate_seeds,
+    )
+
+    rounds, budget = 2, 5
+    pages = generate_pages(spark, sf_dir, n_hosts=50)
+    seeds = generate_seeds(spark, sf_dir, n_hosts=50)
+    robots = generate_robots_rules(spark, n_hosts=50)
+
+    if oracle_applies(sf_dir):
+        sim = simulate_crawl(
+            pages.toPandas(), seeds.toPandas(), robots.toPandas(),
+            rounds=rounds, budget=budget, priority_source="pagerank",
+        )
+        expected = pd.DataFrame(
+            sim.schedule,
+            columns=["round", "host", "priority", "canonical_url",
+                     "host_rank", "slot_ms"],
+        )[["round", "host", "canonical_url", "priority", "host_rank",
+           "slot_ms"]]
+        write_fixture(
+            "q_crawl_pagerank_priority",
+            sf_dir,
+            expected.astype(
+                {"round": "int32", "priority": "float64",
+                 "host_rank": "int32", "slot_ms": "int64"}
+            ),
+        )
+
+    state = run_crawl(
+        spark, pages, seeds, robots, rounds=rounds, budget=budget,
+        priority_source="pagerank",
+    )
+    return state.schedule.select(
+        "round", "host", "canonical_url", "priority", "host_rank", "slot_ms"
+    )

@@ -595,3 +595,69 @@ def test_fused_durable_resume_after_kill_matches_straight(spark, tmp_path):
         set(tuple(r[c] for c in mcols) for r in df.collect())
     )
     assert mrows(cat.read("metrics")) == mrows(full.metrics)
+
+
+def test_pagerank_priority_matches_simulator(spark):
+    """priority_source='pagerank' (VERDICT r04 item 6): every round past
+    the first re-seeds candidate priorities from the exact-int64 PageRank
+    of the cumulative outlink graph. Engine and simulator share only the
+    spec (both PageRank implementations are the independently-written
+    pair already under test), so schedule equality here gates the whole
+    composition — priorities, ordering, slots."""
+    pages = generate_pages(spark, SF_SMOKE, n_hosts=N_HOSTS)
+    seeds = generate_seeds(spark, SF_SMOKE, n_hosts=N_HOSTS)
+    robots = generate_robots_rules(spark, n_hosts=N_HOSTS)
+
+    state = run_crawl(
+        spark, pages, seeds, robots, rounds=3, budget=BUDGET,
+        priority_source="pagerank",
+    )
+    sim = simulate_crawl(
+        pages.toPandas(), seeds.toPandas(), robots.toPandas(), 3, BUDGET,
+        priority_source="pagerank",
+    )
+    got = sorted(
+        (r["round"], r["host"], r["priority"], r["canonical_url"],
+         r["host_rank"], r["slot_ms"])
+        for r in state.schedule.collect()
+    )
+    assert got == sorted(tuple(t) for t in sim.schedule)
+    assert {r["canonical_url"] for r in state.url_seen.collect()} == (
+        sim.url_seen
+    )
+    # sanity: pagerank actually changed the ordering vs inherit mode
+    # (round >= 2 priorities are int64 ranks, not decayed seed floats)
+    r2 = [t for t in got if t[0] == 2]
+    assert r2 and all(p >= 1 or p == 0.0 for _r, _h, p, *_ in r2)
+
+
+def test_pagerank_priority_durable_resume_matches_straight(spark, tmp_path):
+    """Pagerank-priority crawls commit their per-round edge deltas
+    (link_edges) so resume reads the exact cumulative graph; the resumed
+    schedule must equal the uninterrupted run's."""
+    from logcrawler_spark.catalog import Catalog
+
+    pages = generate_pages(spark, SF_SMOKE, n_hosts=N_HOSTS)
+    seeds = generate_seeds(spark, SF_SMOKE, n_hosts=N_HOSTS)
+    robots = generate_robots_rules(spark, n_hosts=N_HOSTS)
+
+    full = run_crawl(
+        spark, pages, seeds, robots, rounds=3, budget=BUDGET,
+        priority_source="pagerank",
+    )
+    cat = Catalog(spark, str(tmp_path))
+    run_crawl(
+        spark, pages, seeds, robots, rounds=1, budget=BUDGET,
+        priority_source="pagerank", catalog=cat,
+    )
+    assert cat.exists("link_edges")
+    resumed = resume_crawl(
+        spark, pages, robots, cat, total_rounds=3, budget=BUDGET,
+        priority_source="pagerank",
+    )
+    key = lambda st: sorted(
+        (r["round"], r["host"], r["priority"], r["canonical_url"],
+         r["host_rank"], r["slot_ms"])
+        for r in st.schedule.collect()
+    )
+    assert key(resumed) == key(full)
