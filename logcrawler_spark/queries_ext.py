@@ -815,9 +815,26 @@ _CURATION_SQL = r"""
       FROM cand c JOIN ush a ON c.id_a = a.doc_id
                   JOIN ush b ON c.id_b = b.doc_id
       WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-              / len(list_distinct(a.s || b.s)) >= 0.5)
-    SELECT u.doc_id, u.lang_pred, u.quality, u.n_tokens
-    FROM uniq u ANTI JOIN drops d ON u.doc_id = d.doc_id
+              / len(list_distinct(a.s || b.s)) >= 0.5),
+    survivors AS (
+      SELECT u.doc_id, u.text, u.lang_pred, u.quality, u.n_tokens
+      FROM uniq u ANTI JOIN drops d ON u.doc_id = d.doc_id),
+    bgrams AS (
+      SELECT DISTINCT unnest(list_distinct(
+        [array_to_string(words[i : i + 12], ' ')
+         FOR i IN range(1, greatest(len(words) - 12, 1) + 1)])) AS g
+      FROM (SELECT string_split_regex(trim(text), '\s+') AS words
+            FROM documents WHERE doc_id % 97 = 0)),
+    sgrams AS (
+      SELECT doc_id, unnest(list_distinct(
+        [array_to_string(words[i : i + 12], ' ')
+         FOR i IN range(1, greatest(len(words) - 12, 1) + 1)])) AS g
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+            FROM survivors)),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM sgrams JOIN bgrams USING (g))
+    SELECT s.doc_id, s.lang_pred, s.quality, s.n_tokens
+    FROM survivors s ANTI JOIN contaminated c ON s.doc_id = c.doc_id
 """
 
 
@@ -826,18 +843,23 @@ _CURATION_SQL = r"""
     _CURATION_SQL.replace("MINHASH_UNIQ", _minhash_sql("uniq")),
 )
 def q_corpus_curation(spark, sf_dir):
-    """End-to-end training-corpus curation: language-ID filter -> quality
-    gate -> exact dedup (keep lowest id per md5) -> near-dup drop (greedy:
-    any doc appearing as id_b of an LSH-candidate pair with n-gram
-    jaccard >= 0.5 is dropped, so the lowest id of a near-dup group
-    survives). One declarative plan — cheap filters prune before the
-    expensive dedup stages."""
+    """End-to-end training-corpus curation in the real pretraining order
+    (r5 adds the final stage): language-ID filter -> quality gate ->
+    exact dedup (keep lowest id per md5) -> near-dup drop (greedy: any
+    doc appearing as id_b of an LSH-candidate pair with n-gram jaccard
+    >= 0.5 is dropped, so the lowest id of a near-dup group survives) ->
+    benchmark DECONTAMINATION (any survivor sharing a distinct 13-gram
+    with the eval set — every 97th raw document — is dropped). One
+    declarative plan — cheap filters prune before the expensive dedup
+    stages, and the eval grams broadcast so the corpus never shuffles for
+    the leak check."""
     from logcrawler_spark.functions.text import (
         lang_id_from,
         quality_score_from,
         with_tokens,
     )
     from logcrawler_spark.operators.dedup import (
+        decontaminate,
         exact_dedup,
         ngram_jaccard_pairs,
     )
@@ -868,8 +890,18 @@ def q_corpus_curation(spark, sf_dir):
     pairs = ngram_jaccard_pairs(
         uniq, "text", "doc_id", n=3, threshold=0.5, lsh_k=8, lsh_bands=4
     )
-    drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    return uniq.join(drops, on="doc_id", how="left_anti").select(
+    # drops is tiny but derives from the whole LSH pipeline; the two
+    # downstream consumers of `survivors` would recompute it twice
+    # unpinned (derived-column fan-out rule) — materialize the SMALL side
+    drops = materialize(
+        pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    )
+    survivors = uniq.join(drops, on="doc_id", how="left_anti")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    flagged = decontaminate(survivors, bench, n=13).select(
+        F.col("id").alias("doc_id")
+    )
+    return survivors.join(flagged, on="doc_id", how="left_anti").select(
         "doc_id", "lang_pred", "quality", "n_tokens"
     )
 
