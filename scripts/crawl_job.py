@@ -42,6 +42,29 @@ def main() -> None:
         help="fetch windows per round; over-budget URLs spill to later windows",
     )
     ap.add_argument("--window-ms", type=int, default=60_000)
+    ap.add_argument(
+        "--fuse-fetch", action="store_true",
+        help="1 materializing job/round: round N's fetch runs inside round"
+        " N+1's job; composes with --probe-confirm auto and the durable"
+        " catalog (r5)",
+    )
+    ap.add_argument(
+        "--probe-confirm", choices=["inline", "join", "auto"],
+        default="inline",
+        help="URL-seen confirm shape; auto flips inline->join once the"
+        " seen set outgrows the candidate stream",
+    )
+    ap.add_argument(
+        "--auto-buckets", action="store_true",
+        help="derive the filter/storage bucket count from |url_seen|"
+        " (bucket_count_policy) instead of a fixed 32",
+    )
+    ap.add_argument(
+        "--priority-source", choices=["inherit", "pagerank"],
+        default="inherit",
+        help="pagerank: re-seed each round's candidate priorities from"
+        " the exact-int64 PageRank of the cumulative outlink graph",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -69,6 +92,10 @@ def main() -> None:
         ttl_rounds=args.ttl_rounds,
         windows_per_round=args.windows_per_round,
         window_ms=args.window_ms,
+        fuse_fetch=args.fuse_fetch,
+        probe_confirm=args.probe_confirm,
+        bloom_buckets=None if args.auto_buckets else 32,
+        priority_source=args.priority_source,
     )
     if cat.exists("round_marker"):
         state = resume_crawl(
