@@ -1012,6 +1012,12 @@ def _pagerank_reprioritize(
         .distinct()
     )
     n_nodes = nodes.count()  # parquet-footer metadata off the materialize
+    if n_nodes == 0:
+        # no links extracted anywhere yet (all 404s / linkless corpus):
+        # there is nothing to rank — keep the inherited priorities, as
+        # the simulator does (its pagerank step is skipped on an empty
+        # edge list). Also dodges the 1/n_nodes base term.
+        return cand.select("url", "priority")
     ranks = pagerank_int(edges_all, n_nodes, n_iter=n_iter, nodes=nodes)
     return cand.join(
         ranks.select(F.col("node").alias("url"), "rank_int"),

@@ -661,3 +661,32 @@ def test_pagerank_priority_durable_resume_matches_straight(spark, tmp_path):
         for r in st.schedule.collect()
     )
     assert key(resumed) == key(full)
+
+
+def test_pagerank_priority_linkless_corpus_no_crash(spark):
+    """Edge case: a corpus whose pages carry no <a> links yields an empty
+    outlink graph — pagerank mode must keep the (empty) candidate flow
+    and inherited priorities instead of dividing by a zero node count."""
+    from datetime import datetime
+
+    pages = spark.createDataFrame(
+        [("http://a.example.com/p1", datetime(2024, 1, 1),
+          b"<p>no links here</p>")],
+        "url string, warc_ts timestamp, html binary",
+    )
+    seeds = spark.createDataFrame(
+        [("http://a.example.com/p1", 5.0)], "url string, priority double"
+    )
+    robots = spark.createDataFrame(
+        [], "host string, path_prefix string, allow boolean,"
+        " crawl_delay_ms long",
+    )
+    state = run_crawl(
+        spark, pages, seeds, robots, rounds=2, budget=5,
+        priority_source="pagerank",
+    )
+    rows = [
+        (r["round"], r["canonical_url"], r["priority"])
+        for r in state.schedule.collect()
+    ]
+    assert rows == [(1, "http://a.example.com/p1", 5.0)]
