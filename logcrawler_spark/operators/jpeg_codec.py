@@ -221,14 +221,17 @@ def jpeg_encode(
     """(h, w) grayscale or (h, w, 3) RGB uint8 -> baseline JFIF bytes.
 
     Color uses the JFIF full-range YCbCr forward transform; ``subsample``
-    is "444" (chroma at full resolution, components 1x1) or "420" (chroma
-    2x2-box-averaged, luma sampling 2x2 — interleaved 4-Y-block MCUs).
+    is "444" (chroma at full resolution, components 1x1), "420" (chroma
+    2x2-box-averaged, luma sampling 2x2 — interleaved 4-Y-block MCUs), or
+    "422" (chroma averaged horizontally only, luma 2x1 — r5).
     Dimensions are edge-padded to the MCU grid.
     """
     if img.dtype != np.uint8:
         raise ValueError("8-bit samples only")
-    if subsample not in ("444", "420"):
-        raise ValueError(f"subsample must be 444 or 420, got {subsample!r}")
+    if subsample not in ("444", "420", "422"):
+        raise ValueError(
+            f"subsample must be 444, 420 or 422, got {subsample!r}"
+        )
     gray = img.ndim == 2
     h, w = img.shape[:2]
     qy, qc = quality_tables(quality)
@@ -254,6 +257,12 @@ def jpeg_encode(
                     + p[1::2, 0::2] + p[1::2, 1::2]
                 ) / 4.0
             samps = [(2, 2), (1, 1), (1, 1)]
+        elif subsample == "422":
+            ew = -(-w // 2) * 2
+            for i in (1, 2):
+                p = np.pad(planes[i], ((0, 0), (0, ew - w)), mode="edge")
+                planes[i] = (p[:, 0::2] + p[:, 1::2]) / 2.0
+            samps = [(2, 1), (1, 1), (1, 1)]
         else:
             samps = [(1, 1), (1, 1), (1, 1)]
     planes = [np.clip(np.round(p), 0, 255) for p in planes]

@@ -115,6 +115,20 @@ def test_420_subsampled_decode_matches_oracle(shape):
     assert np.abs(eng.astype(int) - img.astype(int)).mean() < 8.0
 
 
+@pytest.mark.parametrize("shape", [(32, 32), (23, 21)])
+def test_422_subsampled_decode_matches_oracle(shape):
+    """4:2:2 streams (r5: luma 2x1, horizontally-averaged chroma): engine
+    and the independent oracle decoder agree within 1 lsb."""
+    img = _smooth(shape[0], shape[1], channels=3)
+    blob = jpeg_encode(img, quality=90, subsample="422")
+    eng = jpeg_decode(blob)
+    pix, w, h, nc = jpeg_decode_py(blob)
+    assert (w, h, nc) == (shape[1], shape[0], 3)
+    oracle = np.array(pix, dtype=np.int64).reshape(eng.shape)
+    assert np.abs(eng.astype(np.int64) - oracle).max() <= 1
+    assert np.abs(eng.astype(int) - img.astype(int)).mean() < 8.0
+
+
 def test_rejects_non_baseline():
     img = _smooth(8, 8)
     blob = bytearray(jpeg_encode(img))

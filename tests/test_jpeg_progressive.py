@@ -176,3 +176,17 @@ def test_truncated_bytes_raise_valueerror_only():
             jpeg_decode(data[:cut])
         except ValueError:
             pass  # the T3 contract — no other exception type allowed
+
+
+def test_progressive_422_equals_baseline_exactly():
+    """r5: 4:2:2 (luma 2x1) in both encoders — progressive must decode
+    pixel-exact against the baseline 4:2:2 path, including odd widths
+    where the luma real grid differs from the MCU-padded grid."""
+    rng = _rng()
+    for h, w, q in [(23, 17, 85), (16, 24, 55), (9, 31, 92)]:
+        img = _img(h, w, True, rng)
+        db = jpeg_decode(jpeg_encode(img, quality=q, subsample="422"))
+        dp = jpeg_decode(
+            jpeg_encode_progressive(img, quality=q, subsample="422")
+        )
+        assert np.array_equal(db, dp), (h, w, q)
