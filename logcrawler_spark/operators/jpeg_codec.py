@@ -223,14 +223,15 @@ def jpeg_encode(
     Color uses the JFIF full-range YCbCr forward transform; ``subsample``
     is "444" (chroma at full resolution, components 1x1), "420" (chroma
     2x2-box-averaged, luma sampling 2x2 — interleaved 4-Y-block MCUs), or
-    "422" (chroma averaged horizontally only, luma 2x1 — r5).
+    "422" (chroma averaged horizontally only, luma 2x1) or "440"
+    (vertically only, luma 1x2) — r5.
     Dimensions are edge-padded to the MCU grid.
     """
     if img.dtype != np.uint8:
         raise ValueError("8-bit samples only")
-    if subsample not in ("444", "420", "422"):
+    if subsample not in ("444", "420", "422", "440"):
         raise ValueError(
-            f"subsample must be 444, 420 or 422, got {subsample!r}"
+            f"subsample must be 444/420/422/440, got {subsample!r}"
         )
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -263,6 +264,12 @@ def jpeg_encode(
                 p = np.pad(planes[i], ((0, 0), (0, ew - w)), mode="edge")
                 planes[i] = (p[:, 0::2] + p[:, 1::2]) / 2.0
             samps = [(2, 1), (1, 1), (1, 1)]
+        elif subsample == "440":
+            eh = -(-h // 2) * 2
+            for i in (1, 2):
+                p = np.pad(planes[i], ((0, eh - h), (0, 0)), mode="edge")
+                planes[i] = (p[0::2, :] + p[1::2, :]) / 2.0
+            samps = [(1, 2), (1, 1), (1, 1)]
         else:
             samps = [(1, 1), (1, 1), (1, 1)]
     planes = [np.clip(np.round(p), 0, 255) for p in planes]

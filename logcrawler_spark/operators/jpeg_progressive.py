@@ -183,7 +183,8 @@ def jpeg_encode_progressive(
 ) -> bytes:
     """(h, w) grayscale or (h, w, 3) RGB uint8 -> progressive (SOF2) JFIF
     bytes. ``subsample`` is "444" (all components 1x1), "420" (luma 2x2,
-    chroma box-averaged) or "422" (luma 2x1, horizontal-only average) —
+    chroma box-averaged), "422" (luma 2x1, horizontal-only average) or
+    "440" (luma 1x2, vertical-only average) —
     r5, closes the VERDICT r04 subsampling cut. Same
     quantization/DCT/downsampling as the baseline encoder, so
     both encodings carry identical coefficients on the real block grid
@@ -191,9 +192,9 @@ def jpeg_encode_progressive(
     their AC never, and they crop away in the pixel domain)."""
     if img.dtype != np.uint8:
         raise ValueError("8-bit samples only")
-    if subsample not in ("444", "420", "422"):
+    if subsample not in ("444", "420", "422", "440"):
         raise ValueError(
-            f"subsample must be 444, 420 or 422, got {subsample!r}"
+            f"subsample must be 444/420/422/440, got {subsample!r}"
         )
     scans = scans if scans is not None else DEFAULT_SCANS
     gray = img.ndim == 2
@@ -228,6 +229,12 @@ def jpeg_encode_progressive(
                 p = np.pad(planes[i], ((0, 0), (0, ew - w)), mode="edge")
                 planes[i] = (p[:, 0::2] + p[:, 1::2]) / 2.0
             samps = [(2, 1), (1, 1), (1, 1)]
+        elif subsample == "440":
+            eh = -(-h // 2) * 2
+            for i in (1, 2):
+                p = np.pad(planes[i], ((0, eh - h), (0, 0)), mode="edge")
+                planes[i] = (p[0::2, :] + p[1::2, :]) / 2.0
+            samps = [(1, 2), (1, 1), (1, 1)]
         else:
             samps = [(1, 1)] * 3
     planes = [np.clip(np.round(p), 0, 255) for p in planes]

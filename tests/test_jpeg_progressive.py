@@ -190,3 +190,16 @@ def test_progressive_422_equals_baseline_exactly():
             jpeg_encode_progressive(img, quality=q, subsample="422")
         )
         assert np.array_equal(db, dp), (h, w, q)
+
+
+def test_progressive_440_equals_baseline_exactly():
+    """r5: 4:4:0 (luma 1x2, vertically-averaged chroma) — the transposed
+    twin of 4:2:2; odd heights exercise the vertical dummy-block rows."""
+    rng = _rng()
+    for h, w, q in [(17, 23, 85), (24, 16, 55), (31, 9, 92)]:
+        img = _img(h, w, True, rng)
+        db = jpeg_decode(jpeg_encode(img, quality=q, subsample="440"))
+        dp = jpeg_decode(
+            jpeg_encode_progressive(img, quality=q, subsample="440")
+        )
+        assert np.array_equal(db, dp), (h, w, q)
