@@ -282,3 +282,54 @@ def test_resume_bucket_change_migrates_storage(spark, tmp_path):
     for d in dirs:
         parts = glob.glob(os.path.join(d, "part-*"))
         assert 0 < len(parts) <= 16
+
+
+def test_auto_probe_flip_in_fused_mode_one_round_stale(spark):
+    """r5 composition: with fuse_fetch=True the auto decision uses the
+    previous round's raw candidate count (counting the deferred plan
+    would execute it), so the flip in the eager fixture shifts exactly
+    one round later — round 2 stays inline (proxy = 160 seeds), round 3
+    joins (proxy = 2 outlinks << |url_seen|=162). Schedule stays exact
+    against the simulator on every side of the flip."""
+    n_hosts, per_host, budget = 20, 8, 8
+    seeds = spark.createDataFrame(
+        [
+            (f"http://h{i:02d}.ex.org/s{j}", 1.0)
+            for i in range(n_hosts)
+            for j in range(per_host)
+        ],
+        SEEDS_SCHEMA,
+    )
+    pages = spark.createDataFrame(
+        [
+            (
+                "http://h00.ex.org/s0",
+                1,
+                b'<p>x</p><a href="/n1">a</a><a href="/n2">b</a>',
+            ),
+            # n1 exists too, so round 3 has real candidates (its
+            # outlinks) and therefore metrics rows carrying the mode
+            (
+                "http://h00.ex.org/n1",
+                1,
+                b'<p>y</p><a href="/m1">c</a><a href="/m2">d</a>',
+            ),
+        ],
+        PAGES_SCHEMA,
+    )
+    robots = spark.createDataFrame([], ROBOTS_SCHEMA)
+
+    st = run_crawl(
+        spark, pages, seeds, robots, rounds=3, budget=budget,
+        probe_confirm="auto", fuse_fetch=True,
+    )
+    modes = {
+        int(r["round"]): r["probe_mode"]
+        for r in st.metrics.select("round", "probe_mode").distinct().collect()
+    }
+    assert modes == {1: "inline", 2: "inline", 3: "join"}
+
+    sim = simulate_crawl(
+        pages.toPandas(), seeds.toPandas(), robots.toPandas(), 3, budget
+    )
+    assert _sched_rows(st) == _sim_rows(sim)
