@@ -389,6 +389,7 @@ def decontaminate(
     bench_text_col: str = "text",
     n: int = 13,
     min_hits: int = 1,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination (r4, training-data-pipeline op): flag
     corpus documents sharing >= ``min_hits`` distinct word ``n``-grams
@@ -406,14 +407,23 @@ def decontaminate(
     hash-agg on the (small) matched subset. At 100 TB the benchmark side
     stays broadcastable (~10^6 grams); if it ever were not, the same
     plan degrades to a shuffled equi-join, never an all-pairs compare.
+
+    ``hash_grams=True`` (the scale path): join on ``xxhash64(gram)``
+    instead of the gram string — a ~10x smaller broadcast (8 bytes vs
+    ~80-byte 13-gram strings) and an 8-byte probe key. A 64-bit
+    collision between a corpus gram and a DIFFERENT benchmark gram flags
+    a clean doc with probability ~|corpus grams|x|bench grams|/2^64 —
+    at 10^12 x 10^6 that is ~5e-2 expected extra drops across the WHOLE
+    corpus, negligible for a filter whose job is over-dropping suspect
+    docs. Default stays the exact string join so the DuckDB value-parity
+    oracle (which has no xxhash64) keeps gating the operator.
     """
-    cg = corpus.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), n)).alias("g"),
-    )
-    bg = benchmark.select(
-        F.explode(shingles(F.col(bench_text_col), n)).alias("g")
-    ).distinct()
+    gram = lambda c, col: F.explode(shingles(F.col(col), n)).alias(c)
+    cg = corpus.select(F.col(id_col).alias("id"), gram("g", text_col))
+    bg = benchmark.select(gram("g", bench_text_col)).distinct()
+    if hash_grams:
+        cg = cg.select("id", F.xxhash64("g").alias("g"))
+        bg = bg.select(F.xxhash64("g").alias("g")).distinct()
     hits = cg.join(F.broadcast(bg), on="g").groupBy("id").agg(
         F.count("*").alias("n_contaminated_grams")
     )

@@ -128,3 +128,45 @@ def test_decontaminate_flags_ngram_overlap(spark):
         for r in decontaminate(corpus, bench, n=13).collect()
     }
     assert got == {1: 1, 2: 8}
+
+
+def test_decontaminate_hashed_grams_matches_string_join(spark):
+    """hash_grams=True (the 100-TB broadcast-shrink path) must produce
+    the identical flag set and counts as the exact string join at any
+    collision-free scale — here on both the toy fixture and the sf0.001
+    documents table vs its every-97th eval split."""
+    from logcrawler_spark.operators.dedup import decontaminate
+
+    words = [f"w{i}" for i in range(30)]
+    corpus = spark.createDataFrame(
+        [
+            (1, " ".join(words[:13]) + " zz"),
+            (2, " ".join(words[5:25])),
+            (3, " ".join(words[:12]) + " qq rr ss"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    exact = {
+        r["id"]: r["n_contaminated_grams"]
+        for r in decontaminate(corpus, bench, n=13).collect()
+    }
+    hashed = {
+        r["id"]: r["n_contaminated_grams"]
+        for r in decontaminate(corpus, bench, n=13, hash_grams=True).collect()
+    }
+    assert exact == hashed == {1: 1, 2: 8}
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    e = {
+        (r["id"], r["n_contaminated_grams"])
+        for r in decontaminate(docs, ev, n=13).collect()
+    }
+    h = {
+        (r["id"], r["n_contaminated_grams"])
+        for r in decontaminate(docs, ev, n=13, hash_grams=True).collect()
+    }
+    assert e == h and e
