@@ -898,7 +898,11 @@ def q_corpus_curation(spark, sf_dir):
     )
     survivors = uniq.join(drops, on="doc_id", how="left_anti")
     bench = d.filter(F.col("doc_id") % 97 == 0)
-    flagged = decontaminate(survivors, bench, n=13).select(
+    # hash_grams: the 100-TB broadcast shape (8-byte keys). xxhash64 is a
+    # fixed function, so equality with the string-join DuckDB oracle is
+    # DETERMINISTIC for this dataset — the parity gate proves the absence
+    # of collisions once and for all, not per-run luck.
+    flagged = decontaminate(survivors, bench, n=13, hash_grams=True).select(
         F.col("id").alias("doc_id")
     )
     return survivors.join(flagged, on="doc_id", how="left_anti").select(
