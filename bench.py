@@ -164,14 +164,14 @@ def main() -> None:
     state = None
     for i in range(n_runs):
         catalog = None
+        cat_dir = None
         if durable:
             import tempfile
 
             from logcrawler_spark.catalog import Catalog
 
-            catalog = Catalog(
-                spark, tempfile.mkdtemp(prefix=f"bench-cat-{i}-")
-            )
+            cat_dir = tempfile.mkdtemp(prefix=f"bench-cat-{i}-")
+            catalog = Catalog(spark, cat_dir)
         t0 = time.monotonic()
         state = run_crawl(
             spark, pages, seeds, robots, rounds=rounds, budget=budget,
@@ -179,6 +179,14 @@ def main() -> None:
             catalog=catalog,
         )
         crawl_runs.append(round(time.monotonic() - t0, 3))
+        if cat_dir is not None and i < n_runs - 1:
+            # reclaim each run's full-crawl snapshot catalog outside the
+            # timed region (repeated durable benches would otherwise pile
+            # up sf0.1 crawl copies in /tmp); the LAST run's catalog
+            # stays alive for the metrics reads below
+            import shutil
+
+            shutil.rmtree(cat_dir, ignore_errors=True)
     crawl_s = sorted(crawl_runs)[len(crawl_runs) // 2]
     timings["crawl_pipeline"] = round(crawl_s, 3)
 

@@ -183,6 +183,19 @@ class Catalog:
                 seen[t] = None
         return list(seen)
 
+    def read_tag(self, table: str, tag: int) -> DataFrame | None:
+        """Rows of the data dirs committed at EXACTLY ``tag`` (None when
+        no such dir exists) — the content a tag-replacing re-append at
+        that tag would drop, so writers that must PRESERVE it can union
+        it into the replacement (the fused crawl's finalize flush)."""
+        entries = [n for n, t in self._read_manifest(table) if t == tag]
+        if not entries:
+            return None
+        tdir = self._table_dir(table)
+        return self.spark.read.parquet(
+            *[os.path.join(tdir, n) for n in entries]
+        )
+
     def read_at(self, table: str, as_of_tag: int) -> DataFrame:
         """Tag-based time travel (the Iceberg snapshot-as-of analog).
 

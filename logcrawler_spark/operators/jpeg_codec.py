@@ -215,6 +215,44 @@ def _encode_block(
     return dc
 
 
+
+#: the subsampling modes both encoders accept (shared validation)
+SUBSAMPLE_MODES = ("444", "420", "422", "440")
+
+
+def downsample_chroma(planes, subsample: str, h: int, w: int):
+    """Shared chroma-downsample for BOTH encoders (baseline + progressive)
+    -> (planes, samps). The progressive/baseline pixel-exact parity
+    oracle depends on the two encoders producing bit-identical
+    downsampled planes, so this lives in ONE place by construction."""
+    if subsample not in SUBSAMPLE_MODES:
+        raise ValueError(
+            f"subsample must be 444/420/422/440, got {subsample!r}"
+        )
+    if subsample == "420":
+        eh, ew = -(-h // 2) * 2, -(-w // 2) * 2
+        for i in (1, 2):
+            p = np.pad(planes[i], ((0, eh - h), (0, ew - w)), mode="edge")
+            planes[i] = (
+                p[0::2, 0::2] + p[0::2, 1::2]
+                + p[1::2, 0::2] + p[1::2, 1::2]
+            ) / 4.0
+        return planes, [(2, 2), (1, 1), (1, 1)]
+    if subsample == "422":
+        ew = -(-w // 2) * 2
+        for i in (1, 2):
+            p = np.pad(planes[i], ((0, 0), (0, ew - w)), mode="edge")
+            planes[i] = (p[:, 0::2] + p[:, 1::2]) / 2.0
+        return planes, [(2, 1), (1, 1), (1, 1)]
+    if subsample == "440":
+        eh = -(-h // 2) * 2
+        for i in (1, 2):
+            p = np.pad(planes[i], ((0, eh - h), (0, 0)), mode="edge")
+            planes[i] = (p[0::2, :] + p[1::2, :]) / 2.0
+        return planes, [(1, 2), (1, 1), (1, 1)]
+    return planes, [(1, 1), (1, 1), (1, 1)]
+
+
 def jpeg_encode(
     img: np.ndarray, quality: int = 90, subsample: str = "444"
 ) -> bytes:
@@ -229,7 +267,7 @@ def jpeg_encode(
     """
     if img.dtype != np.uint8:
         raise ValueError("8-bit samples only")
-    if subsample not in ("444", "420", "422", "440"):
+    if subsample not in SUBSAMPLE_MODES:
         raise ValueError(
             f"subsample must be 444/420/422/440, got {subsample!r}"
         )
@@ -247,31 +285,7 @@ def jpeg_encode(
             -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
             0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
         ]
-        if subsample == "420":
-            eh, ew = -(-h // 2) * 2, -(-w // 2) * 2
-            for i in (1, 2):
-                p = np.pad(
-                    planes[i], ((0, eh - h), (0, ew - w)), mode="edge"
-                )
-                planes[i] = (
-                    p[0::2, 0::2] + p[0::2, 1::2]
-                    + p[1::2, 0::2] + p[1::2, 1::2]
-                ) / 4.0
-            samps = [(2, 2), (1, 1), (1, 1)]
-        elif subsample == "422":
-            ew = -(-w // 2) * 2
-            for i in (1, 2):
-                p = np.pad(planes[i], ((0, 0), (0, ew - w)), mode="edge")
-                planes[i] = (p[:, 0::2] + p[:, 1::2]) / 2.0
-            samps = [(2, 1), (1, 1), (1, 1)]
-        elif subsample == "440":
-            eh = -(-h // 2) * 2
-            for i in (1, 2):
-                p = np.pad(planes[i], ((0, eh - h), (0, 0)), mode="edge")
-                planes[i] = (p[0::2, :] + p[1::2, :]) / 2.0
-            samps = [(1, 2), (1, 1), (1, 1)]
-        else:
-            samps = [(1, 1), (1, 1), (1, 1)]
+        planes, samps = downsample_chroma(planes, subsample, h, w)
     planes = [np.clip(np.round(p), 0, 255) for p in planes]
 
     def seg(marker: int, body: bytes) -> bytes:

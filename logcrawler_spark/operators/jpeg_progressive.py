@@ -50,7 +50,9 @@ from logcrawler_spark.operators.jpeg_codec import (
     _category,
     _decode_tree,
     _extend,
+    SUBSAMPLE_MODES,
     _read_huff,
+    downsample_chroma,
     quality_tables,
 )
 
@@ -192,7 +194,7 @@ def jpeg_encode_progressive(
     their AC never, and they crop away in the pixel domain)."""
     if img.dtype != np.uint8:
         raise ValueError("8-bit samples only")
-    if subsample not in ("444", "420", "422", "440"):
+    if subsample not in SUBSAMPLE_MODES:
         raise ValueError(
             f"subsample must be 444/420/422/440, got {subsample!r}"
         )
@@ -211,32 +213,7 @@ def jpeg_encode_progressive(
             -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
             0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
         ]
-        if subsample == "420":
-            # identical 2x2 box average as jpeg_codec.jpeg_encode
-            eh, ew = -(-h // 2) * 2, -(-w // 2) * 2
-            for i in (1, 2):
-                p = np.pad(
-                    planes[i], ((0, eh - h), (0, ew - w)), mode="edge"
-                )
-                planes[i] = (
-                    p[0::2, 0::2] + p[0::2, 1::2]
-                    + p[1::2, 0::2] + p[1::2, 1::2]
-                ) / 4.0
-            samps = [(2, 2), (1, 1), (1, 1)]
-        elif subsample == "422":
-            ew = -(-w // 2) * 2
-            for i in (1, 2):
-                p = np.pad(planes[i], ((0, 0), (0, ew - w)), mode="edge")
-                planes[i] = (p[:, 0::2] + p[:, 1::2]) / 2.0
-            samps = [(2, 1), (1, 1), (1, 1)]
-        elif subsample == "440":
-            eh = -(-h // 2) * 2
-            for i in (1, 2):
-                p = np.pad(planes[i], ((0, eh - h), (0, 0)), mode="edge")
-                planes[i] = (p[0::2, :] + p[1::2, :]) / 2.0
-            samps = [(1, 2), (1, 1), (1, 1)]
-        else:
-            samps = [(1, 1)] * 3
+        planes, samps = downsample_chroma(planes, subsample, h, w)
     planes = [np.clip(np.round(p), 0, 255) for p in planes]
     ncomp = len(planes)
     hmax = max(s[0] for s in samps)

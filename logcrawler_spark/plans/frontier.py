@@ -1031,6 +1031,36 @@ def _pagerank_reprioritize(
     )
 
 
+def _pagerank_round_update(
+    state: CrawlState,
+    edges_all: DataFrame | None,
+    pagerank_iters: int,
+    catalog: Catalog | None,
+):
+    """Post-round pagerank bookkeeping, shared by :func:`run_crawl` and
+    :func:`resume_crawl` (one copy — commit ordering is crash-sensitive):
+    accumulate the round's (src, dst) edges, re-seed candidate priorities
+    from the cumulative graph, and in durable mode append the edge delta
+    at the round's tag BEFORE ``_commit_round`` writes the marker, so a
+    resume always sees the full graph behind the marker it trusts."""
+    from dataclasses import replace
+
+    cand = state.candidates
+    edges_rnd = cand.select(
+        F.col("src_url").alias("src"), F.col("url").alias("dst")
+    )
+    edges_all = (
+        edges_rnd if edges_all is None else edges_all.unionByName(edges_rnd)
+    )
+    state = replace(
+        state,
+        candidates=_pagerank_reprioritize(cand, edges_all, pagerank_iters),
+    )
+    if catalog is not None:
+        catalog.append("link_edges", edges_rnd, tag=state.round_no)
+    return state, edges_all
+
+
 def run_crawl(
     spark: SparkSession,
     pages: DataFrame,
@@ -1116,33 +1146,13 @@ def run_crawl(
             keep_src=pagerank,
         )
         if pagerank:
-            # accumulate this round's (src, dst) edges and re-seed the
-            # next round's candidate priorities from the cumulative graph
-            # (candidates are already materialized — eager mode)
-            from dataclasses import replace
-
-            cand = state.candidates
-            edges_rnd = cand.select(
-                F.col("src_url").alias("src"), F.col("url").alias("dst")
-            )
-            edges_all = (
-                edges_rnd
-                if edges_all is None
-                else edges_all.unionByName(edges_rnd)
-            )
-            state = replace(
-                state,
-                candidates=_pagerank_reprioritize(
-                    cand, edges_all, pagerank_iters
-                ),
+            # candidates are already materialized (eager mode); the edge
+            # delta is committed at the round's tag so a resume reads the
+            # EXACT cumulative graph (multiplicity included)
+            state, edges_all = _pagerank_round_update(
+                state, edges_all, pagerank_iters, catalog
             )
         if catalog is not None:
-            if pagerank:
-                # the round's edge delta rides its own tagged append so a
-                # resume reads the EXACT cumulative graph (multiplicity
-                # included) instead of re-extracting it; committed before
-                # round_marker like every other per-round table
-                catalog.append("link_edges", edges_rnd, tag=state.round_no)
             _maybe_rebucket(catalog, state, prev_filter_buckets)
             _commit_round(spark, catalog, state, filter_kind)
         prev_filter_buckets = state.filter_buckets
@@ -1167,6 +1177,13 @@ def _finalize_with_catalog(catalog: Catalog | None, state: CrawlState):
         return finalize_crawl(state)
     rnd = state.round_no
     prev_delta = state.metrics_delta  # what the tag=rnd metrics dir holds
+    if prev_delta is None and catalog.exists("metrics"):
+        # fresh resume with zero rounds left: this process never wrote
+        # the tag=rnd metrics dir, but the killed run may have — a
+        # tag-replacing append would silently DROP its rows (review r5
+        # bug: round rnd-1's metrics lost from the catalog). Preserve
+        # the dir's actual content instead of reconstructing by round.
+        prev_delta = catalog.read_tag("metrics", rnd)
     state = finalize_crawl(state)
     flush = state.metrics_delta
     catalog.append(
@@ -1431,8 +1448,16 @@ def resume_crawl(
         # round done's metrics have NOT resolved (they resolve at the next
         # consuming job); any round==done rows in the table are orphans of
         # a crashed next-round attempt — exclude them, the re-resolution
-        # re-adds identical rows (deterministic) at the re-run's tag
-        metrics = catalog.read("metrics").filter(F.col("round") < done)
+        # re-adds identical rows (deterministic) at the re-run's tag.
+        # A fused ROUND-1 commit has no resolved metrics at all (they
+        # resolve at round 2), so the table may not exist yet (review r5
+        # bug: unguarded read crashed the resume) — start from None, the
+        # same empty state an uninterrupted round 1 runs with.
+        metrics = (
+            catalog.read("metrics").filter(F.col("round") < done)
+            if catalog.exists("metrics")
+            else None
+        )
         # auto counts: same one-round-stale proxy the uninterrupted fused
         # run uses (committed in the marker), so resume makes identical
         # inline/join decisions
@@ -1443,14 +1468,19 @@ def resume_crawl(
             .filter(F.col("for_round") == done)
             .drop("for_round")
         )
-        metrics = catalog.read("metrics").filter(F.col("round") <= done)
+        metrics = (
+            catalog.read("metrics").filter(F.col("round") <= done)
+            if catalog.exists("metrics")
+            else None
+        )
         n_pending = candidates.count() if auto_scale else None
     # pre-r4 catalogs lack the probe_mode/filter_buckets metrics columns;
     # pad with NULLs so the per-round unionByName keeps resolving
     # (review r4 finding #1)
-    for col, typ in (("probe_mode", "string"), ("filter_buckets", "int")):
-        if col not in metrics.columns:
-            metrics = metrics.withColumn(col, F.lit(None).cast(typ))
+    if metrics is not None:
+        for col, typ in (("probe_mode", "string"), ("filter_buckets", "int")):
+            if col not in metrics.columns:
+                metrics = metrics.withColumn(col, F.lit(None).cast(typ))
     state = CrawlState(
         url_seen=url_seen,
         candidates=candidates,
@@ -1510,24 +1540,9 @@ def resume_crawl(
             keep_src=pagerank,
         )
         if pagerank:
-            from dataclasses import replace
-
-            cand = state.candidates
-            edges_rnd = cand.select(
-                F.col("src_url").alias("src"), F.col("url").alias("dst")
+            state, edges_all = _pagerank_round_update(
+                state, edges_all, pagerank_iters, catalog
             )
-            edges_all = (
-                edges_rnd
-                if edges_all is None
-                else edges_all.unionByName(edges_rnd)
-            )
-            state = replace(
-                state,
-                candidates=_pagerank_reprioritize(
-                    cand, edges_all, pagerank_iters
-                ),
-            )
-            catalog.append("link_edges", edges_rnd, tag=state.round_no)
         _maybe_rebucket(catalog, state, prev_filter_buckets)
         _commit_round(spark, catalog, state, filter_kind)
         prev_filter_buckets = state.filter_buckets

@@ -256,3 +256,122 @@ def test_resume_discards_legacy_filter_without_bucket_count(spark, tmp_path):
         ]
 
     assert sched_key(resumed.schedule) == sched_key(full.schedule)
+
+
+def _restore_pre_flush(spark, cat, rnd):
+    """Rewind a finalized fused catalog to the state a kill right after
+    _commit_round(rnd) leaves: fused marker present, candidate rows
+    absent, metrics holding only what had RESOLVED by then (< rnd)."""
+    m = cat.read("metrics")
+    stats = (
+        m.filter(F.col("round") == rnd)
+        .select("urls_raw_total", "urls_candidates_total", "probe_mode",
+                "filter_buckets")
+        .distinct()
+        .collect()[0]
+    )
+    cat.append(
+        "fused_pending",
+        spark.createDataFrame(
+            [(rnd, int(stats["urls_raw_total"]),
+              int(stats["urls_candidates_total"]), stats["probe_mode"],
+              int(stats["filter_buckets"]))],
+            "round int, n_raw bigint, n_cand bigint, probe_mode string,"
+            " filter_buckets int",
+        ),
+        tag=rnd,
+    )
+    cat.truncate_tags("pending_candidates", rnd)
+    resolved = m.filter(F.col("round") == rnd - 1)
+    if resolved.count() > 0:
+        cat.append("metrics", resolved, tag=rnd)
+    else:
+        # round 1: nothing had resolved — the metrics table did not exist
+        import shutil
+
+        cat.truncate_tags("metrics", 0)
+        shutil.rmtree(str(cat._table_dir("metrics")), ignore_errors=True)
+
+
+def test_fused_resume_after_round1_kill_with_no_metrics_table(spark, tmp_path):
+    """Review r5 bug 1: a fused round-1 commit resolves no metrics, so a
+    kill right after it leaves NO metrics table at all; resume must start
+    from the same empty-metrics state an uninterrupted round 1 runs with
+    instead of crashing on the read."""
+    pages = generate_pages(spark, SF_SMOKE, n_hosts=N_HOSTS)
+    seeds = generate_seeds(spark, SF_SMOKE, n_hosts=N_HOSTS)
+    robots = generate_robots_rules(spark, n_hosts=N_HOSTS)
+
+    full = run_crawl(
+        spark, pages, seeds, robots, rounds=3, budget=BUDGET,
+        fuse_fetch=True,
+    )
+    cat = Catalog(spark, str(tmp_path))
+    run_crawl(
+        spark, pages, seeds, robots, rounds=1, budget=BUDGET,
+        fuse_fetch=True, catalog=cat,
+    )
+    _restore_pre_flush(spark, cat, 1)
+    assert not cat.exists("metrics")
+
+    resumed = resume_crawl(
+        spark, pages, robots, cat, total_rounds=3, budget=BUDGET,
+        fuse_fetch=True,
+    )
+    key = lambda st: sorted(
+        (r["round"], r["host"], r["priority"], r["canonical_url"])
+        for r in st.schedule.collect()
+    )
+    assert key(resumed) == key(full)
+    mrows = lambda df: sorted(
+        set(
+            (r["round"], r["urls_raw_total"], r["pages_fetched_total"])
+            for r in df.collect()
+        )
+    )
+    assert mrows(cat.read("metrics")) == mrows(full.metrics)
+
+
+def test_fused_finalize_on_zero_round_resume_preserves_metrics(
+    spark, tmp_path
+):
+    """Review r5 bug 2: resuming a killed fused crawl with ZERO rounds
+    left (total_rounds == marker) goes straight to the finalize flush;
+    the tag-replacing metrics append must PRESERVE the rows the killed
+    run committed at that tag (round done-1's), not drop them."""
+    pages = generate_pages(spark, SF_SMOKE, n_hosts=N_HOSTS)
+    seeds = generate_seeds(spark, SF_SMOKE, n_hosts=N_HOSTS)
+    robots = generate_robots_rules(spark, n_hosts=N_HOSTS)
+
+    full = run_crawl(
+        spark, pages, seeds, robots, rounds=3, budget=BUDGET,
+        fuse_fetch=True,
+    )
+    cat = Catalog(spark, str(tmp_path))
+    run_crawl(
+        spark, pages, seeds, robots, rounds=3, budget=BUDGET,
+        fuse_fetch=True, catalog=cat,
+    )
+    _restore_pre_flush(spark, cat, 3)
+    assert sorted(
+        r["round"] for r in cat.read("metrics").select("round")
+        .distinct().collect()
+    ) == [1, 2]
+
+    resumed = resume_crawl(
+        spark, pages, robots, cat, total_rounds=3, budget=BUDGET,
+        fuse_fetch=True,
+    )
+    got = sorted(
+        r["round"] for r in cat.read("metrics").select("round")
+        .distinct().collect()
+    )
+    assert got == [1, 2, 3]
+    mrows = lambda df: sorted(
+        set(
+            (r["round"], r["urls_raw_total"], r["pages_fetched_total"])
+            for r in df.collect()
+        )
+    )
+    assert mrows(cat.read("metrics")) == mrows(full.metrics)
+    assert resumed.pending_fetch is None
