@@ -418,12 +418,46 @@ def decontaminate(
     docs. Default stays the exact string join so the DuckDB value-parity
     oracle (which has no xxhash64) keeps gating the operator.
     """
-    gram = lambda c, col: F.explode(shingles(F.col(col), n)).alias(c)
-    cg = corpus.select(F.col(id_col).alias("id"), gram("g", text_col))
-    bg = benchmark.select(gram("g", bench_text_col)).distinct()
+    from logcrawler_spark.utils import ensure_min_partitions
+
+    # gram explosion is the dominant per-row cost; a single-row-group local
+    # corpus file would otherwise run it in one task (guide §2.5 — no-op on
+    # a many-split production table)
+    corpus = ensure_min_partitions(corpus)
     if hash_grams:
-        cg = cg.select("id", F.xxhash64("g").alias("g"))
-        bg = bg.select(F.xxhash64("g").alias("g")).distinct()
+        # hash every gram INSIDE the transform and dedupe on the 8-byte
+        # hashes: array_distinct compares int64s instead of array_sort +
+        # array_distinct over ~80-byte gram strings (measured ~2x on the
+        # sf1.0 curation decontamination stage). The distinct-hash multiset
+        # equals xxhash64(distinct grams) unless two grams OF ONE DOC
+        # collide in 64 bits (~|doc grams|^2/2^65 ≈ 1e-16/doc — same
+        # deterministic-for-this-dataset argument as the broadcast-key
+        # collision note above, pinned by the value-parity gate).
+        def hgrams(col: str) -> Column:
+            words = F.split(F.trim(F.col(col)), r"\s+")
+            idx = F.sequence(
+                F.lit(0), F.greatest(F.size(words) - n, F.lit(0))
+            )
+            return F.array_distinct(
+                F.transform(
+                    idx,
+                    lambda i: F.xxhash64(
+                        F.array_join(F.slice(words, i + 1, n), " ")
+                    ),
+                )
+            )
+
+        cg = corpus.select(
+            F.col(id_col).alias("id"),
+            F.explode(hgrams(text_col)).alias("g"),
+        )
+        bg = benchmark.select(
+            F.explode(hgrams(bench_text_col)).alias("g")
+        ).distinct()
+    else:
+        gram = lambda c, col: F.explode(shingles(F.col(col), n)).alias(c)
+        cg = corpus.select(F.col(id_col).alias("id"), gram("g", text_col))
+        bg = benchmark.select(gram("g", bench_text_col)).distinct()
     hits = cg.join(F.broadcast(bg), on="g").groupBy("id").agg(
         F.count("*").alias("n_contaminated_grams")
     )

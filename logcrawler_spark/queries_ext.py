@@ -190,8 +190,11 @@ def q_event_window_agg(spark, sf_dir):
 )
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup: hash-groupBy on content fingerprint (U3/U4 analog)."""
+    from logcrawler_spark.utils import ensure_min_partitions
+
+    # single-row-group input: spread the md5 fingerprinting (guide §2.5)
     return (
-        _t(spark, sf_dir, "documents")
+        ensure_min_partitions(_t(spark, sf_dir, "documents"))
         .groupBy(F.md5(F.col("text").cast("binary")).alias("fp"))
         .agg(
             F.min("doc_id").alias("keeper_id"),
@@ -669,7 +672,13 @@ def q_text_stats(spark, sf_dir):
         with_tokens,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    from logcrawler_spark.utils import ensure_min_partitions
+
+    # documents.parquet is one row group at every local SF — unsplittable,
+    # so the whole tokenize/score pipeline would run in ONE scan task
+    # (guide §2.5 input skew: repartition right after the read; no-op on a
+    # many-split production table)
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
     t = F.col("text")
     # one regex split per row (with_tokens Generate barrier) instead of
     # re-splitting inside each of token_count/quality_score
@@ -719,8 +728,10 @@ def q_lang_id(spark, sf_dir):
     """N-gram-heuristic language ID (stopword-ratio argmax, ties -> first
     language alphabetically)."""
     from logcrawler_spark.functions.text import lang_id
+    from logcrawler_spark.utils import ensure_min_partitions
 
-    d = _t(spark, sf_dir, "documents")
+    # single-row-group input: split the scoring across cores (guide §2.5)
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
     return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
 
@@ -864,12 +875,16 @@ def q_corpus_curation(spark, sf_dir):
         ngram_jaccard_pairs,
     )
 
+    from logcrawler_spark.utils import ensure_min_partitions
+
     d = _t(spark, sf_dir, "documents")
     # tokenize ONCE per row behind the Generate barrier (with_tokens):
     # the naive composition re-ran the regex split ~17x per row across
     # lang_id + quality + counts — measured 5x slower (CLAUDE.md
-    # derived-column fan-out rule)
-    toked = with_tokens(d)
+    # derived-column fan-out rule). The scoring pipeline runs over a
+    # repartitioned scan — documents.parquet is ONE row group locally, so
+    # without it every stage-1 expression ran in a single task (guide §2.5)
+    toked = with_tokens(ensure_min_partitions(d))
     tk = F.col("toks")
     scored = toked.filter(F.size(tk) > 0).select(
         "doc_id",
