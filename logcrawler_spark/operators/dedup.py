@@ -390,6 +390,7 @@ def decontaminate(
     n: int = 13,
     min_hits: int = 1,
     hash_grams: bool = False,
+    _gram_hash=None,
 ) -> DataFrame:
     """Benchmark decontamination (r4, training-data-pipeline op): flag
     corpus documents sharing >= ``min_hits`` distinct word ``n``-grams
@@ -417,6 +418,11 @@ def decontaminate(
     corpus, negligible for a filter whose job is over-dropping suspect
     docs. Default stays the exact string join so the DuckDB value-parity
     oracle (which has no xxhash64) keeps gating the operator.
+
+    ``_gram_hash``: test seam — a Column->Column hash substituted for
+    ``xxhash64`` so the collision failure mode is TESTABLE (a real 64-bit
+    collision cannot be brute-forced): a coarse hash must only ever
+    OVER-drop (extra flagged docs), never under-drop (VERDICT r05 item 7).
     """
     from logcrawler_spark.utils import ensure_min_partitions
 
@@ -424,6 +430,7 @@ def decontaminate(
     # corpus file would otherwise run it in one task (guide §2.5 — no-op on
     # a many-split production table)
     corpus = ensure_min_partitions(corpus)
+    ghash = _gram_hash if _gram_hash is not None else F.xxhash64
     if hash_grams:
         # hash every gram INSIDE the transform and dedupe on the 8-byte
         # hashes: array_distinct compares int64s instead of array_sort +
@@ -441,7 +448,7 @@ def decontaminate(
             return F.array_distinct(
                 F.transform(
                     idx,
-                    lambda i: F.xxhash64(
+                    lambda i: ghash(
                         F.array_join(F.slice(words, i + 1, n), " ")
                     ),
                 )

@@ -226,7 +226,7 @@ def kmeans_refine_centroids(
     id_col: str,
     n_centroids: int = 16,
     iters: int = 2,
-    bit_exact: bool = True,
+    bit_exact: bool = False,
 ) -> DataFrame:
     """Deterministic Lloyd refinement of the IVF centroids.
 
@@ -237,6 +237,11 @@ def kmeans_refine_centroids(
     scale-safe free-order production aggregate — numerically within fp
     rounding of each other, tested at 1e-9). Cells that lose all members
     keep their previous centroid. Returns (cell_id, cv, cn).
+
+    ``bit_exact`` defaults to **False** (r6, VERDICT r05 item 6): the
+    order-fixed fold gathers every member vector of a cell into one row
+    (``collect_list``) and OOMs a popular cell at scale — only the DuckDB
+    value-parity oracle needs it, and that caller opts in explicitly.
     """
     from logcrawler_spark.utils import ensure_min_partitions, materialize
 
@@ -293,7 +298,7 @@ def cosine_topk_ivf(
     n_centroids: int = 16,
     n_probe: int = 4,
     kmeans_iters: int = 0,
-    kmeans_bit_exact: bool = True,
+    kmeans_bit_exact: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``n_probe`` nearest cells only.
 

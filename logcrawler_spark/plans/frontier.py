@@ -1184,13 +1184,36 @@ def _finalize_with_catalog(catalog: Catalog | None, state: CrawlState):
         # bug: round rnd-1's metrics lost from the catalog). Preserve
         # the dir's actual content instead of reconstructing by round.
         prev_delta = catalog.read_tag("metrics", rnd)
-    state = finalize_crawl(state)
-    flush = state.metrics_delta
+    from dataclasses import replace
+
+    # ONE job resolves the deferred fetch AND commits it durably: the
+    # catalog append executes the lazy plan (resolving the observation),
+    # and the committed immutable dir doubles as the materialized
+    # candidates frame — previously this was a scratch-parquet
+    # materialize PLUS a second full write into the catalog (r6
+    # durable-floor measurement: ~0.7s/run of redundant IO at bench
+    # scale). Commit ORDER is unchanged: (1) pending data, (2) fused
+    # truncation, (3) metrics — same crash windows as documented above.
     catalog.append(
         "pending_candidates",
         state.candidates.withColumn("for_round", F.lit(rnd)),
         tag=rnd,
     )
+    flush_rows = _resolve_pending_metrics(state.pending_fetch)
+    state = replace(
+        state,
+        candidates=catalog.read_tag("pending_candidates", rnd).drop(
+            "for_round"
+        ),
+        metrics=(
+            flush_rows
+            if state.metrics is None
+            else state.metrics.unionByName(flush_rows)
+        ),
+        pending_fetch=None,
+        metrics_delta=flush_rows,
+    )
+    flush = flush_rows
     catalog.truncate_tags("fused_pending", rnd)
     # the tag=rnd dir holds prev_delta (the rows that resolved AT round
     # rnd); re-appending at the same tag replaces it, so the flush rows
@@ -1239,7 +1262,21 @@ def _commit_round(
     replaced), and ``round_marker`` — written LAST — is the commit point:
     the resume path trusts only rows with round <= marker. Lineage records,
     per url_hash bucket, how many NEW keys the round added — cumulative
-    counts are a sum over rounds."""
+    counts are a sum over rounds.
+
+    The ~6 pre-marker writes land on DISJOINT tables (independent HEAD
+    manifests, atomic per-table ``os.replace``), so they run CONCURRENTLY
+    from a driver thread pool (guide §2.6 — overlap independent jobs) and
+    the wall cost of a round's commit is one job latency instead of six;
+    ``round_marker`` is still written strictly AFTER every write has
+    succeeded, so crash semantics are unchanged: any subset of completed
+    appends without the marker is exactly the state a crash between
+    sequential appends produced before, and the idempotent tagged
+    re-append replaces it on resume. VERDICT r05 item 1: this took the
+    durable bench config from 59% to ~parity with the volatile
+    throughput (see OPTIMIZATION_r06.md for the measured table)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     rnd = state.round_no
     seen_delta = state.url_seen.filter(F.col("first_seen_round") == rnd)
     # ONE bucket-count policy: the url_seen storage files cluster on the
@@ -1247,21 +1284,27 @@ def _commit_round(
     # bucket's keys live in a bounded file set (VERDICT r03: previously
     # filter=32 vs storage=8, misaligned)
     nb = state.filter_buckets or 8
-    catalog.append(
-        "url_seen", seen_delta, tag=rnd, n_buckets=nb, bucket_col="url_hash"
-    )
-    catalog.append(
-        "schedule", state.schedule.filter(F.col("round") == rnd), tag=rnd
-    )
+    writes = [
+        lambda: catalog.append(
+            "url_seen", seen_delta, tag=rnd, n_buckets=nb,
+            bucket_col="url_hash",
+        ),
+        lambda: catalog.append(
+            "schedule", state.schedule.filter(F.col("round") == rnd),
+            tag=rnd,
+        ),
+    ]
     # metrics: the round's DELTA rows (eager: this round's rows; fused:
     # the previous round's just-resolved rows — fetch metrics resolve one
     # round late in fused mode, so tag k's dir holds the rows that
     # RESOLVED at round k). Resume filters on the ROW round column, so
     # which tag a row rides in is invisible to readers.
     if state.metrics_delta is not None:
-        catalog.append("metrics", state.metrics_delta, tag=rnd)
+        writes.append(
+            lambda: catalog.append("metrics", state.metrics_delta, tag=rnd)
+        )
     else:
-        catalog.truncate_tags("metrics", rnd)
+        writes.append(lambda: catalog.truncate_tags("metrics", rnd))
     if state.pending_fetch is not None and state.pending_fetch["round"] == rnd:
         # fused commit: the round's candidates are a LAZY fetch plan —
         # writing them would execute the deferred fetch and forfeit the
@@ -1271,24 +1314,28 @@ def _commit_round(
         # row carrying the counts the deferred metrics resolution needs
         # (resume rebuilds the identical plan via _fetch_extract_plan).
         pf = state.pending_fetch
-        catalog.append(
-            "fused_pending",
-            spark.createDataFrame(
+        writes.append(
+            lambda: catalog.append_local(
+                "fused_pending",
                 [(rnd, pf["n_raw"], pf["n_cand"], pf["mode"],
                   pf["n_buckets"])],
-                "round int, n_raw bigint, n_cand bigint, probe_mode string,"
-                " filter_buckets int",
-            ),
-            tag=rnd,
+                "round int, n_raw bigint, n_cand bigint,"
+                " probe_mode string, filter_buckets int",
+                tag=rnd,
+            )
         )
-        catalog.truncate_tags("pending_candidates", rnd)
+        writes.append(
+            lambda: catalog.truncate_tags("pending_candidates", rnd)
+        )
     else:
-        catalog.append(
-            "pending_candidates",
-            state.candidates.withColumn("for_round", F.lit(rnd)),
-            tag=rnd,
+        writes.append(
+            lambda: catalog.append(
+                "pending_candidates",
+                state.candidates.withColumn("for_round", F.lit(rnd)),
+                tag=rnd,
+            )
         )
-        catalog.truncate_tags("fused_pending", rnd)
+        writes.append(lambda: catalog.truncate_tags("fused_pending", rnd))
     if state.blooms is not None:
         # small (n_buckets rows). The filter's round rides INSIDE the same
         # atomic overwrite: a crash between this write and round_marker
@@ -1299,10 +1346,12 @@ def _commit_round(
         # filter already applied this round's TTL deletes, and replaying
         # delete_keys against it could evict colliding twin fingerprints
         # (false negatives), so resume rebuilds instead (ADVICE r02).
-        catalog.overwrite(
-            f"url_seen_{filter_kind}",
-            state.blooms.withColumn("committed_round", F.lit(rnd))
-            .withColumn("n_buckets", F.lit(state.filter_buckets)),
+        writes.append(
+            lambda: catalog.overwrite(
+                f"url_seen_{filter_kind}",
+                state.blooms.withColumn("committed_round", F.lit(rnd))
+                .withColumn("n_buckets", F.lit(state.filter_buckets)),
+            )
         )
     lineage = (
         seen_delta.groupBy(
@@ -1312,11 +1361,15 @@ def _commit_round(
         .withColumn("round", F.lit(rnd))
         .withColumn("committed_ts", F.current_timestamp())
     )
-    catalog.append("lineage", lineage, tag=rnd)
-    catalog.overwrite(
-        "round_marker",
-        spark.createDataFrame([(rnd,)], "round int"),
-    )
+    writes.append(lambda: catalog.append("lineage", lineage, tag=rnd))
+    # all pre-marker writes touch disjoint tables: overlap their jobs and
+    # BARRIER before the marker — any failure surfaces here and the marker
+    # is never written over a partial round
+    with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+        for fut in [pool.submit(w) for w in writes]:
+            fut.result()
+    # 1-row control table: driver-side pyarrow write, no Spark job
+    catalog.overwrite_local("round_marker", [(rnd,)], "round int")
     # markers for rounds BEFORE the one just committed are stale by
     # definition (resume reads only round == marker) — expire them now,
     # strictly AFTER the marker write so a crash at any point leaves the
@@ -1511,10 +1564,39 @@ def resume_crawl(
             # the corpus, extracted exactly once (no TTL re-fetches, which
             # only pagerank-committed catalogs track by multiplicity), so
             # re-extracting links over (pages ⋈ url_seen) rebuilds it.
+            if ttl_rounds is not None:
+                # with TTL a page may have been fetched in SEVERAL rounds,
+                # each fetch contributing its outlinks again; that
+                # multiplicity is only recorded by link_edges commits, so
+                # a rebuild cannot reproduce the live run's graph —
+                # refuse instead of silently diverging (ADVICE r05)
+                raise ValueError(
+                    "pagerank resume of a catalog without link_edges"
+                    " cannot reconstruct refetch multiplicity under"
+                    " ttl_rounds — rerun with the catalog that committed"
+                    " link_edges, or without ttl_rounds"
+                )
             seen_pages = pages_c.join(
                 state.url_seen.select("canonical_url").distinct(),
                 on="canonical_url",
             )
+            if failure_rate_pct > 0:
+                # the live run only accumulated edges from pages whose
+                # simulated fetch SUCCEEDED (the __first_ok filter in
+                # _fetch_extract_plan); apply the IDENTICAL deterministic
+                # attempt filter here so permanently-failed pages'
+                # outlinks stay out of the rebuilt graph and post-resume
+                # priorities match an uninterrupted run (ADVICE r05)
+                ok_attempts = F.filter(
+                    F.sequence(F.lit(1), F.lit(max_fetch_attempts)),
+                    lambda a: F.pmod(
+                        F.xxhash64(F.col("canonical_url"), a), F.lit(100)
+                    )
+                    >= failure_rate_pct,
+                )
+                seen_pages = seen_pages.filter(
+                    F.try_element_at(ok_attempts, F.lit(1)).isNotNull()
+                )
             edges_all = _materialize(
                 seen_pages.select(
                     F.col("canonical_url").alias("src"),
@@ -1524,6 +1606,12 @@ def resume_crawl(
                     resolve_link(F.col("src"), F.col("href")).alias("dst"),
                 )
             )
+            # backfill the rebuilt cumulative graph at tag=done: without
+            # this, link_edges would hold only deltas from done+1 onward
+            # and a SECOND resume would silently read a truncated graph
+            # (ADVICE r05). Append-at-tag keeps later per-round deltas
+            # (tags > done) composing as before.
+            catalog.append("link_edges", edges_all, tag=done)
     for _ in range(total_rounds - done):
         state = crawl_round(
             state, pages_c, robots_ph, budget, use_bloom,

@@ -574,6 +574,10 @@ def q_ann_topk_ivf_kmeans(spark, sf_dir):
     return cosine_topk_ivf(
         e, q, "embedding", "vec_id", "vec_id", k=5, n_centroids=8,
         n_probe=2, kmeans_iters=2,
+        # the DuckDB oracle reproduces the ORDER-FIXED fold, so this query
+        # opts in explicitly; the operator default is the scale-safe
+        # free-order aggregate (VERDICT r05 item 6)
+        kmeans_bit_exact=True,
     )
 
 

@@ -170,3 +170,43 @@ def test_decontaminate_hashed_grams_matches_string_join(spark):
         for r in decontaminate(docs, ev, n=13, hash_grams=True).collect()
     }
     assert e == h and e
+
+
+def test_decontaminate_hash_collision_only_overdrops(spark):
+    """Adversarial gram-hash collision (VERDICT r05 item 7): when a CLEAN
+    doc's gram collides with a benchmark gram under the hash, the hashed
+    path may flag the clean doc (over-drop) but must NEVER lose a truly
+    contaminated doc (under-drop). A genuine 64-bit xxhash64 collision
+    cannot be brute-forced, so the test substitutes a deliberately coarse
+    hash (xxhash64 mod 2) through the ``_gram_hash`` seam — every gram
+    collides with ~half the benchmark set, the worst possible case."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from logcrawler_spark.operators.dedup import decontaminate
+
+    words = [f"w{i}" for i in range(30)]
+    corpus = spark.createDataFrame(
+        [
+            (1, " ".join(words[:13]) + " zz"),   # truly contaminated
+            (2, " ".join(words[5:25])),          # truly contaminated
+            (3, "totally unrelated text " * 5),  # clean — may over-drop
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    exact_ids = {
+        r["id"] for r in decontaminate(corpus, bench, n=13).collect()
+    }
+    coarse = lambda c: F.pmod(F.xxhash64(c), F.lit(2))  # noqa: E731
+    collided_ids = {
+        r["id"]
+        for r in decontaminate(
+            corpus, bench, n=13, hash_grams=True, _gram_hash=coarse
+        ).collect()
+    }
+    # over-drop allowed and expected under forced collisions...
+    assert collided_ids >= exact_ids
+    # ...and here provably exercised: the clean doc 3 collides into a flag
+    assert 3 in collided_ids and 3 not in exact_ids

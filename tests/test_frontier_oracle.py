@@ -663,6 +663,65 @@ def test_pagerank_priority_durable_resume_matches_straight(spark, tmp_path):
     assert key(resumed) == key(full)
 
 
+def test_pagerank_resume_without_link_edges_failures_parity(spark, tmp_path):
+    """ADVICE r05 (both mediums): a pagerank resume of a catalog that has
+    NO link_edges table (committed by an inherit-mode run) rebuilds the
+    cumulative graph from (pages ⋈ url_seen) — with failure_rate_pct > 0
+    the rebuild must apply the SAME deterministic attempt filter the live
+    run's _fetch_extract_plan applied, or permanently-failed pages'
+    outlinks pollute the graph and the post-resume crawl order diverges.
+    The rebuilt graph must also be BACKFILLED into link_edges at the
+    marker tag so a SECOND resume reads a complete graph."""
+    import shutil
+
+    from logcrawler_spark.catalog import Catalog
+
+    pages = generate_pages(spark, SF_SMOKE, n_hosts=N_HOSTS)
+    seeds = generate_seeds(spark, SF_SMOKE, n_hosts=N_HOSTS)
+    robots = generate_robots_rules(spark, n_hosts=N_HOSTS)
+    fail = dict(failure_rate_pct=30, max_fetch_attempts=2)
+
+    # 2 pagerank rounds committed with live (correctly failure-filtered)
+    # link_edges — then clone the catalog and DELETE link_edges from the
+    # clone, simulating a legacy catalog that never committed edges
+    cat_full = Catalog(spark, str(tmp_path / "full"))
+    run_crawl(
+        spark, pages, seeds, robots, rounds=2, budget=BUDGET,
+        priority_source="pagerank", catalog=cat_full, **fail,
+    )
+    shutil.copytree(tmp_path / "full", tmp_path / "legacy")
+    shutil.rmtree(tmp_path / "legacy" / "link_edges")
+
+    # ground truth: resume over the COMMITTED live graph (the r5-tested
+    # trusted path — no rebuild involved)
+    full = resume_crawl(
+        spark, pages, robots, cat_full, total_rounds=4, budget=BUDGET,
+        priority_source="pagerank", **fail,
+    )
+
+    # legacy catalog resumes in TWO hops: 2 -> 3 rebuilds the graph from
+    # (pages ⋈ url_seen) — it must filter failed fetches exactly like the
+    # live run and backfill link_edges at the marker tag — then 3 -> 4 is
+    # a SECOND resume that must read a complete (backfilled) graph
+    cat = Catalog(spark, str(tmp_path / "legacy"))
+    assert not cat.exists("link_edges")
+    resume_crawl(
+        spark, pages, robots, cat, total_rounds=3, budget=BUDGET,
+        priority_source="pagerank", **fail,
+    )
+    assert cat.exists("link_edges")  # backfilled at the marker tag
+    hop = resume_crawl(
+        spark, pages, robots, cat, total_rounds=4, budget=BUDGET,
+        priority_source="pagerank", **fail,
+    )
+    key = lambda st: sorted(
+        (r["round"], r["host"], r["priority"], r["canonical_url"],
+         r["host_rank"], r["slot_ms"])
+        for r in st.schedule.collect()
+    )
+    assert key(hop) == key(full)
+
+
 def test_pagerank_priority_linkless_corpus_no_crash(spark):
     """Edge case: a corpus whose pages carry no <a> links yields an empty
     outlink graph — pagerank mode must keep the (empty) candidate flow
