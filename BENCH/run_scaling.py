@@ -63,19 +63,25 @@ def run_once(cpus: int, kernel: bool) -> dict:
 
 
 def main() -> None:
-    results: dict[str, dict[int, list[dict]]] = {"crawl": {}, "kernel": {}}
-    for workload in ["crawl", "kernel"]:
-        for cpus in LEVELS:
-            runs = []
-            for r in range(REPEATS):
+    # INTERLEAVED legs (VERDICT r05 item 4): every repeat cycles through
+    # all (workload, level) cells — A/B/A/B, never sequential blocks — so
+    # slow host-minutes hit every cell evenly instead of biasing whichever
+    # block they land on; the kernel rows double as the in-run noise
+    # control (its code is parallelism-invariant).
+    results: dict[str, dict[int, list[dict]]] = {
+        "crawl": {c: [] for c in LEVELS},
+        "kernel": {c: [] for c in LEVELS},
+    }
+    for r in range(REPEATS):
+        for workload in ["crawl", "kernel"]:
+            for cpus in LEVELS:
                 res = run_once(cpus, workload == "kernel")
-                runs.append(res)
+                results[workload][cpus].append(res)
                 print(
                     f"{workload} local[{cpus}] run {r + 1}/{REPEATS}: "
                     f"{res['value']} {res['unit']} ({res['total_sec']}s)",
                     file=sys.stderr,
                 )
-            results[workload][cpus] = runs
 
     med = {
         w: {
@@ -93,7 +99,8 @@ def main() -> None:
         "# BENCH — measured baseline & scaling evidence",
         "",
         f"Generated {datetime.now(timezone.utc).isoformat(timespec='seconds')} "
-        f"by BENCH/run_scaling.py ({REPEATS} repeats per level, medians).",
+        f"by BENCH/run_scaling.py ({REPEATS} repeats per level, medians, "
+        "legs interleaved A/B/A/B across levels per repeat).",
         "",
         "## Workloads",
         "",

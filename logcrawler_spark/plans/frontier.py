@@ -715,7 +715,26 @@ def crawl_round(
             if filter_kind == "cuckoo"
             else filter_not_seen
         )
-        if mode == "inline":
+        if mode == "inline" and state.round_no == 0:
+            # ROUND-1 fast path (r6): a fresh crawl's URL-seen set is
+            # empty by construction (every CrawlState built at round 0
+            # starts from the empty frame; resume always lands at
+            # round_no >= 1), so the probe cogroup would ship every
+            # candidate through the Python boundary just to stamp
+            # __seen=False. The only real work in that kernel is the
+            # within-batch LWW dedup — run its JVM window twin
+            # (:func:`dedup_batch`, the documented identical-order-keys
+            # pair of ``_lww_dedup_pandas``) and skip the probe shuffle +
+            # Arrow round-trip entirely. Survivors and counts are
+            # identical (pinned by the frontier-oracle schedule gate);
+            # measured ~0.65s/run of Python-boundary cost at the sf1.0
+            # bench (guide §4: eliminate the boundary when a JVM
+            # formulation exists).
+            obs_probe = Observation(f"probe_{rnd}")
+            unseen = dedup_batch(keyed).observe(
+                obs_probe, F.count(F.lit(1)).alias("n_cand")
+            )
+        elif mode == "inline":
             # the exact confirm of filter positives happens INSIDE the
             # probe kernel against the bucket's url_seen keys (same
             # url_hash -> same bucket, colocated by the probe's one
