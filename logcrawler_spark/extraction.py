@@ -61,6 +61,26 @@ def extract_links(html: pd.Series) -> pd.Series:
     return html.str.decode("utf-8", errors="replace").str.findall(_A_RE)
 
 
+@F.pandas_udf(
+    T.StructType(
+        [
+            T.StructField("text", T.StringType()),
+            T.StructField("hrefs", T.ArrayType(T.StringType())),
+        ]
+    )
+)
+def extract_text_and_links(html: pd.Series) -> pd.DataFrame:
+    """Fused text + link extraction: one Arrow transfer of the html
+    bytes, one decode, both kernels (guide §4 — the separate UDFs ship
+    and decode the same payload twice; the crawl's fetch join is the hot
+    caller). Field kernels are verbatim :func:`extract_text` /
+    :func:`extract_links`, so the byte-identity contract carries over."""
+    s = html.str.decode("utf-8", errors="replace")
+    return pd.DataFrame(
+        {"text": s.str.findall(_P_RE).str.join(_WS), "hrefs": s.str.findall(_A_RE)}
+    )
+
+
 def extract_outlinks(pages: DataFrame, url_col: str = "url") -> DataFrame:
     """pages -> one row per (page url, resolved outlink url).
 

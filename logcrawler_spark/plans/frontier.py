@@ -34,7 +34,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from logcrawler_spark.catalog import Catalog
-from logcrawler_spark.extraction import extract_links, extract_text
+from logcrawler_spark.extraction import (
+    extract_links,
+    extract_text_and_links,
+)
 from logcrawler_spark.functions.urls import (
     canonicalize_url,
     resolve_link,
@@ -519,11 +522,16 @@ def _fetch_extract_plan(
         )
         fetched = fetched.filter(F.col("__first_ok").isNotNull())
     obs = Observation(f"round_{rnd}")
+    # fused kernel: html crosses the Python boundary ONCE for both text
+    # and links (two separate UDFs shipped + decoded the payload twice;
+    # the two struct-field references below resolve to a single
+    # ArrowEvalPython evaluation — verified in the plan)
+    ex = extract_text_and_links(F.col("html"))
     enriched = fetched.select(
         "canonical_url",
         "priority",
-        extract_text(F.col("html")).alias("text"),
-        extract_links(F.col("html")).alias("hrefs"),
+        ex["text"].alias("text"),
+        ex["hrefs"].alias("hrefs"),
     ).observe(
         obs,
         F.count(F.lit(1)).alias("n_fetched"),
