@@ -192,9 +192,14 @@ def q_dedup_exact(spark, sf_dir):
     """Exact dedup: hash-groupBy on content fingerprint (U3/U4 analog)."""
     from logcrawler_spark.utils import ensure_min_partitions
 
-    # single-row-group input: spread the md5 fingerprinting (guide §2.5)
+    # md5-per-row is a CHEAP kernel: the pre-agg exchange only pays for
+    # itself on large single-split inputs (interleaved A/B at sf0.1:
+    # unconditional RR 0.723s vs direct scan 0.225s), so gate the split on
+    # input bytes — a no-op locally, still splits an unsplittable big file
     return (
-        ensure_min_partitions(_t(spark, sf_dir, "documents"))
+        ensure_min_partitions(
+            _t(spark, sf_dir, "documents"), min_split_bytes=32 << 20
+        )
         .groupBy(F.md5(F.col("text").cast("binary")).alias("fp"))
         .agg(
             F.min("doc_id").alias("keeper_id"),

@@ -34,7 +34,11 @@ def materialize(df: DataFrame) -> DataFrame:
     return df.sparkSession.read.parquet(path)
 
 
-def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
+def ensure_min_partitions(
+    df: DataFrame,
+    n: int | None = None,
+    min_split_bytes: int | None = None,
+) -> DataFrame:
     """Round-robin repartition iff the input has fewer partitions than the
     session's parallelism.
 
@@ -44,10 +48,33 @@ def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
     a small-file table would run on ONE core while 31 idle. At cluster
     scale inputs have enough splits and this is a no-op — the check costs
     one ``getNumPartitions`` on the logical plan, no job.
+
+    ``min_split_bytes`` gates the repartition by *input size* for kernels
+    whose per-row cost is small (e.g. one md5 per row): there the exchange
+    only pays for itself when a single task would otherwise chew through
+    many MB.  When set, the target partition count is derived from the
+    on-disk bytes of the backing files (driver-side ``getsize``, no job) as
+    ``bytes // min_split_bytes``, capped at ``n`` — so tiny local inputs
+    skip the shuffle entirely while a 100-TB table still splits.  Inputs
+    not backed by local files fall back to the unconditional behavior.
     """
     spark = df.sparkSession
     if n is None:
         n = spark.sparkContext.defaultParallelism
+    if min_split_bytes is not None:
+        import os as _os
+
+        try:
+            paths = [f for f in df.inputFiles() if f.startswith("file:")]
+            if paths:
+                total = sum(
+                    _os.path.getsize(p[len("file:"):]) for p in paths
+                )
+                n = min(n, max(1, total // min_split_bytes))
+        except Exception:
+            pass  # size unknown -> keep the unconditional target
+    if n <= 1:
+        return df
     if df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n)

@@ -150,3 +150,29 @@ def test_fetch_retry_stays_in_codegen(spark):
     ).withColumn("__first_ok", F.try_element_at(ok_attempts, F.lit(1)))
     plan = _plan(fetched.filter(F.col("__first_ok").isNotNull()))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ensure_min_partitions_size_gate(spark):
+    """min_split_bytes gates the RR exchange by input bytes: a tiny local
+    parquet (KBs) must NOT be repartitioned (the exchange costs more than
+    the kernel it parallelizes — measured 0.723s vs 0.225s on
+    q_dedup_exact at sf0.1), while the unconditional form still splits."""
+    from logcrawler_spark.utils import ensure_min_partitions
+
+    d = spark.read.parquet(str(SF_ORACLE) + "/documents.parquet")
+    base_parts = d.rdd.getNumPartitions()
+
+    gated = ensure_min_partitions(d, min_split_bytes=32 << 20)
+    assert gated.rdd.getNumPartitions() == base_parts  # no exchange added
+
+    unconditional = ensure_min_partitions(d)
+    assert (
+        unconditional.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+    # a gate sized BELOW the file size still derives the split count from
+    # the input bytes (capped at parallelism), so a genuinely large
+    # unsplittable file would be spread
+    sized = ensure_min_partitions(d, min_split_bytes=1)
+    assert sized.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
